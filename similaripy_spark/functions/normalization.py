@@ -1,0 +1,209 @@
+"""Matrix normalizations as Catalyst column expressions.
+
+Reproduces the semantics of the reference's Cython kernels
+(similaripy/cython_code/normalization.pyx) on long-form matrices
+``(row, col, value)``:
+
+* ``normalize``  — l1 / l2 / max row- or column-scaling
+  (normalization.pyx:97-197)
+* ``tfidf``      — TF·IDF with pluggable tf/idf modes (normalization.pyx:200-257)
+* ``bm25``       — Okapi BM25, the delta=0 path of bm25plus
+  (normalization.py:116-149)
+* ``bm25plus``   — BM25+ (Lv & Zhai) (normalization.pyx:260-334)
+
+Everything is built-in ``pyspark.sql.functions`` — no UDFs — so the whole
+weighting pass stays inside whole-stage codegen. Per-group statistics use
+window aggregates (one shuffle per grouping key); global scalars (N, avgdl)
+ride in via a broadcast cross-join of a 1-row aggregate, keeping the plan
+fully lazy.
+
+Semantics preserved exactly (see tests/oracle_numpy.py for the literal
+transcription used as the test oracle):
+
+* ``doc_len`` is the sum of **values**, not the nnz count
+  (normalization.pyx:311-312);
+* ``df`` counts strictly-positive entries only (normalization.pyx:313-314);
+* ``avgdl`` divides by the declared row count (matrix shape), which includes
+  empty rows (normalization.pyx:315, 323) — pass ``n_rows`` to reproduce a
+  shape with empty rows, else the distinct row count present is used;
+* IDF is **not clamped** — negative for df > N/2 (normalization.pyx:93-94);
+* l2/l1 rows with zero norm and max-rows with max <= 0 are left unscaled
+  (normalization.pyx:119-128, 152-161, 188-197).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TF_MODES = ("binary", "raw", "sqrt", "freq", "log")
+IDF_MODES = ("unary", "base", "smooth", "prob", "bm25")
+
+
+def tf_expr(freq: Column, doc_len: Column, mode: str, logbase: float) -> Column:
+    """TF dispatch (normalization.pyx:47-69)."""
+    if mode == "binary":
+        return F.when(freq != 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    if mode == "raw":
+        return freq
+    if mode == "sqrt":
+        return F.sqrt(freq)
+    if mode == "freq":
+        return freq / doc_len
+    if mode == "log":
+        return F.log(F.lit(1.0) + freq) / math.log(logbase)
+    raise ValueError(f"Unknown tf_mode {mode!r}. Expected one of {TF_MODES}")
+
+
+def idf_expr(df_count: Column, n_docs: Column, mode: str, logbase: float) -> Column:
+    """IDF dispatch (normalization.pyx:72-94). df_count > 0 is guaranteed in
+    long form (a term with no postings has no rows), matching the kernel's
+    ``idf_[i] != 0`` guard (normalization.pyx:317-319)."""
+    log_logbase = math.log(logbase)
+    if mode == "unary":
+        return F.lit(1.0)
+    if mode == "base":
+        return F.log(n_docs / df_count) / log_logbase
+    if mode == "smooth":
+        return F.log(n_docs / (F.lit(1.0) + df_count)) / log_logbase
+    if mode == "prob":
+        return F.log((n_docs - df_count) / df_count) / log_logbase
+    if mode == "bm25":
+        return F.log((n_docs - df_count + 0.5) / (df_count + 0.5)) / log_logbase
+    raise ValueError(f"Unknown idf_mode {mode!r}. Expected one of {IDF_MODES}")
+
+
+def _axis_cols(axis: int) -> tuple[str, str]:
+    """(group_key, other_key): axis=1 scales along rows (the default),
+    axis=0 along columns — the reference transposes instead
+    (normalization.py:59-73); in long form we just switch the grouping key."""
+    if axis == 1:
+        return "row", "col"
+    if axis == 0:
+        return "col", "row"
+    raise ValueError(f"axis must be 0 or 1, got {axis}")
+
+
+def normalize(m: DataFrame, norm: str = "l2", axis: int = 1) -> DataFrame:
+    """l1/l2/max scaling (normalization.pyx:97-197).
+
+    Groups with zero (l1/l2) or non-positive (max) norms are left unscaled,
+    matching the kernels' skip rules.
+    """
+    key, _ = _axis_cols(axis)
+    w = Window.partitionBy(key)
+    v = F.col("value")
+    if norm == "l1":
+        denom = F.sum(F.abs(v)).over(w)
+        guard = denom != 0.0
+    elif norm == "l2":
+        denom = F.sqrt(F.sum(v * v).over(w))
+        guard = denom != 0.0
+    elif norm == "max":
+        denom = F.max(v).over(w)
+        guard = denom > 0.0
+    else:
+        raise ValueError(f"norm must be l1|l2|max, got {norm!r}")
+    scaled = F.when(guard, v / denom).otherwise(v)
+    return m.withColumn("value", scaled)
+
+
+def _with_doc_term_stats(m: DataFrame, axis: int, n_rows: int | None):
+    """Attach per-doc (doc_len) and per-term (df) stats plus global scalars
+    (n_docs, avgdl) to every cell. Two window shuffles + one broadcast."""
+    doc_key, term_key = _axis_cols(axis)
+    w_doc = Window.partitionBy(doc_key)
+    w_term = Window.partitionBy(term_key)
+    v = F.col("value")
+
+    cells = (
+        m.withColumn("_dl", F.sum(v).over(w_doc))  # normalization.pyx:311-312
+        .withColumn(
+            "_df",
+            F.sum(F.when(v > 0, F.lit(1)).otherwise(F.lit(0))).over(w_term),
+        )  # normalization.pyx:313-314: strictly positive entries only
+    )
+
+    # Global scalars: total value mass and doc count. The reference divides by
+    # the declared shape (incl. empty rows); if n_rows is given, use it.
+    if n_rows is not None:
+        totals = m.agg(F.sum("value").alias("_total_mass")).withColumn(
+            "_n_docs", F.lit(float(n_rows))
+        )
+    else:
+        totals = m.agg(
+            F.sum("value").alias("_total_mass"),
+            F.countDistinct(doc_key).cast("double").alias("_n_docs"),
+        )
+    cells = cells.crossJoin(F.broadcast(totals)).withColumn(
+        "_avgdl", F.col("_total_mass") / F.col("_n_docs")
+    )
+    return cells
+
+
+_STAT_COLS = ("_dl", "_df", "_total_mass", "_n_docs", "_avgdl")
+
+
+def tfidf(
+    m: DataFrame,
+    axis: int = 1,
+    logbase: float = math.e,
+    tf_mode: str = "sqrt",
+    idf_mode: str = "smooth",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """TF-IDF weighting (normalization.pyx:200-257; defaults from
+    normalization.py:190-218)."""
+    cells = _with_doc_term_stats(m, axis, n_rows)
+    tf_ = tf_expr(F.col("value"), F.col("_dl"), tf_mode, logbase)
+    idf_ = idf_expr(F.col("_df"), F.col("_n_docs"), idf_mode, logbase)
+    return cells.withColumn("value", tf_ * idf_).drop(*_STAT_COLS)
+
+
+def bm25plus(
+    m: DataFrame,
+    axis: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    delta: float = 1.0,
+    tf_mode: str = "raw",
+    idf_mode: str = "bm25",
+    logbase: float = math.e,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """BM25+ weighting (normalization.pyx:260-334):
+
+    ``weight = idf * (tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl)) + delta)``
+    """
+    cells = _with_doc_term_stats(m, axis, n_rows)
+    tf_ = tf_expr(F.col("value"), F.col("_dl"), tf_mode, logbase)
+    idf_ = idf_expr(F.col("_df"), F.col("_n_docs"), idf_mode, logbase)
+    norm_dl = (1.0 - b) + b * F.col("_dl") / F.col("_avgdl")  # pyx:326-327
+    weight = idf_ * (tf_ * (k1 + 1.0) / (tf_ + k1 * norm_dl) + delta)
+    return cells.withColumn("value", weight).drop(*_STAT_COLS)
+
+
+def bm25(
+    m: DataFrame,
+    axis: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tf_mode: str = "raw",
+    idf_mode: str = "bm25",
+    logbase: float = math.e,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 = BM25+ with delta=0 (normalization.py:116-149)."""
+    return bm25plus(
+        m,
+        axis=axis,
+        k1=k1,
+        b=b,
+        delta=0.0,
+        tf_mode=tf_mode,
+        idf_mode=idf_mode,
+        logbase=logbase,
+        n_rows=n_rows,
+    )
