@@ -1,0 +1,126 @@
+"""pages → postings, shuffle-free.
+
+The naive plan (explode tokens → groupBy(doc, term)) shuffles every token.
+Because a document's tokens arrive together in its own row, per-doc term
+counts are a MAP-SIDE computation: one Arrow-vectorized ``mapInPandas`` stage
+emits ``(doc_id, term, tf, dl)`` with zero shuffles — ``np.unique`` over
+(doc-index, token) pairs does the counting for a whole Arrow batch at once,
+no per-row Python.
+
+At 100 TB this matters: the only big shuffle left in the index build is the
+term repartition that physically forms the posting lists (index_build.py).
+
+``doc_len`` here is Σ tf — identical to the reference's sum-of-values rule
+(normalization.pyx:311-312) because tokenizer counts ARE the values.
+
+A pure-SQL twin (``build_postings_sql_plan``) exists for oracle comparison;
+tests assert both produce identical postings.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from similaripy_spark.fulltext.tokenizer import TOKEN_SPLIT_RE, tokenize_expr
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.LongType(), False),
+    ]
+)
+
+
+def build_postings(pages: DataFrame, lang: str | None = None) -> DataFrame:
+    """Map-side postings: (doc_id, term, tf, dl) — no shuffle."""
+    if lang is not None:
+        pages = pages.filter(F.col("lang") == lang)
+    src = pages.select("doc_id", "text")
+
+    def count_terms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            toks = b["text"].str.lower().str.split(TOKEN_SPLIT_RE, regex=True)
+            lens = toks.map(len).to_numpy(np.int64)
+            flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)
+            doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+            keep = flat != ""
+            flat, doc_idx = flat[keep], doc_idx[keep]
+            # dl per doc = number of real tokens
+            dl = np.bincount(doc_idx, minlength=len(b)).astype(np.int64)
+            # unique (doc, term) pairs with counts — factorize tokens to int
+            # codes (C-speed hash table), then one int64 np.unique pass
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            key = doc_idx * np.int64(len(uniques)) + codes
+            ukey, counts = np.unique(key, return_counts=True)
+            u_doc = ukey // len(uniques)
+            u_code = ukey % len(uniques)
+            doc_ids = b["doc_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[u_doc],
+                    "term": uniques.take(u_code),
+                    "tf": counts.astype(np.int32),
+                    "dl": dl[u_doc],
+                }
+            )
+
+    return src.mapInPandas(count_terms, schema=POSTINGS_SCHEMA)
+
+
+def build_postings_sql_plan(pages: DataFrame, lang: str | None = None) -> DataFrame:
+    """Oracle-grade pure-SQL twin: explode → two-level aggregate (shuffles;
+    used for parity tests and DuckDB cross-checks)."""
+    if lang is not None:
+        pages = pages.filter(F.col("lang") == lang)
+    toks = pages.select(
+        "doc_id", F.explode(tokenize_expr(F.col("text"))).alias("term")
+    )
+    counted = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("int").alias("tf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    return counted.withColumn("dl", F.sum(F.col("tf").cast("long")).over(w))
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df) — df counts docs with tf > 0 (normalization.pyx:313-314);
+    tf > 0 always holds for tokenizer output but the filter keeps the
+    contract explicit."""
+    return (
+        postings.filter(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def corpus_stats(pages_or_postings: DataFrame, from_postings: bool = False) -> DataFrame:
+    """1-row (n_docs, avgdl). From postings: avgdl = Σtf / n_distinct_docs —
+    equal to the reference's Σdl/N because every tokenized doc has ≥0 tokens
+    and docs with zero tokens carry no postings (callers that must count
+    empty docs pass pages)."""
+    if from_postings:
+        return pages_or_postings.agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            (F.sum(F.col("tf").cast("double")) / F.countDistinct("doc_id")).alias(
+                "avgdl"
+            ),
+        )
+    toks = pages_or_postings.select(
+        F.size(tokenize_expr(F.col("text"))).cast("double").alias("dl")
+    )
+    return toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )

@@ -1,0 +1,65 @@
+"""BM25 top-k retrieval — query path A (relational / oracle-grade).
+
+The reference's retrieval composition is ``dot_product(query_matrix,
+bm25_weighted_docs.T, k)`` (README.md:73-95); for a binarized query vector
+that is textbook Okapi BM25 ranking. Relationally (SURVEY.md §2.4):
+
+    queries ⋈ weighted postings ON term      -- posting-list lookup
+      → groupBy(query_id, doc_id).sum(weight) -- the sparse accumulator
+      → top-k (score DESC, doc_id ASC)         -- deterministic heap
+
+Spark turns the window + rn<=k into WindowGroupLimit (per-partition top-k
+before and after the shuffle) — the distributed twin of the reference's
+per-row heap (s_plus.h:39-64).
+
+Unlike the similarity API (threshold=0 drops negative scores, matching
+s_plus defaults), retrieval keeps negative BM25 scores: a top-10 over a
+corpus where every query term is a stopword must still return 10 docs.
+Pass ``threshold=0.0`` to reproduce the reference composition exactly.
+
+Scale: queries are tiny next to the index → broadcast the exploded query
+terms; the postings side is term-partitioned parquet so the join prunes to
+exactly the touched terms (predicate pushdown on ``term``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from similaripy_spark.operators.topk import top_k
+
+
+def bm25_topk(
+    weighted_postings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    threshold: float | None = None,
+    query_weighted: bool = False,
+) -> DataFrame:
+    """queries(query_id, terms array<string>) × postings(doc_id, term, weight)
+    → (query_id, doc_id, score, rank), rank 1..k by (score DESC, doc_id ASC).
+
+    query_weighted=True multiplies by a per-term query weight column ``qw``
+    (queries exploded form must then carry it) — the general dot_product
+    composition; default is the binarized query vector of the README example.
+    """
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+
+    scores = (
+        F.broadcast(qterms)
+        .join(weighted_postings, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    if threshold is not None:
+        scores = scores.filter(
+            (F.col("score") >= threshold) & (F.col("score") != 0.0)
+        )
+    out = top_k(
+        scores, k, group="query_id", order_value="score", tiebreak="doc_id",
+        keep_rank=True,
+    )
+    return out.select("query_id", "doc_id", "score", "rank")
