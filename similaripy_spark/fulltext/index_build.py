@@ -1,0 +1,357 @@
+"""SPIMI-style index build: doc-sharded, checkpoint-resumable, skew-aware.
+
+Layout decisions (the 100 TB argument):
+
+* **Doc-range shards** (``shard = doc_id // shard_size``). Every term's
+  posting list is physically split by shard, so a stopword appearing in 10%
+  of 10^12 docs never forms a single giant group — the skew the reference
+  fights with popularity column reordering (s_plus_utils.pyx:493-618) and
+  that a term-partitioned build would hit as one hot reducer is dissolved by
+  construction. The build shuffle is ``repartitionByRange(doc)`` — uniform by
+  definition and nearly a no-op when the input is already doc-ordered.
+* **Per-shard SPIMI**: within a shard partition, ``sortWithinPartitions
+  (term, doc_id)`` then one Arrow-batched pass builds docID-sorted,
+  delta+varint posting blocks (128 entries) with per-block
+  ``(max_doc, max_score)`` — the Block-Max metadata (Ding & Suel 2011).
+* **Checkpoint/resume**: shards are processed in ``n_groups`` commit units;
+  each unit writes its segment parquet to a temp dir, renames it into place,
+  then writes a lineage manifest (write-then-commit). A re-run anti-joins
+  pending groups against committed manifests and recomputes only the rest —
+  FIXTURES.md §6 semantics.
+* Weights are float32 (reference compute dtype, s_plus.pyx:237-238); docIDs
+  int64 end-to-end.
+
+The term-major "merged global index" (partition-pruned by term bucket) is a
+cheap second shuffle of the compressed blocks — index_merge.py.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from similaripy_spark.fulltext import codec
+from similaripy_spark.fulltext.postings import build_postings
+from similaripy_spark.fulltext.weights import bm25_weights
+
+BLOCK_SIZE = 128
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("max_doc", T.LongType(), False),
+        T.StructField("max_score", T.FloatType(), False),
+        T.StructField("min_score", T.FloatType(), False),
+        T.StructField("doc_deltas", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("weights", T.BinaryType(), False),
+    ]
+)
+
+
+def _encode_partition(
+    batches: Iterator[pd.DataFrame], block_size: int
+) -> Iterator[pd.DataFrame]:
+    """One partition = whole shards, sorted by (shard, term, doc_id).
+    Groups may span Arrow batches → carry the tail group over."""
+    carry: pd.DataFrame | None = None
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy(np.int32)
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        weights = pdf["weight"].to_numpy(np.float64)
+        # group boundaries on (shard, term)
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        rows = []
+        for s, e in zip(starts, ends):
+            d = docs[s:e]
+            w32 = weights[s:e].astype(np.float32)
+            t = tfs[s:e]
+            for bi, off in enumerate(range(0, e - s, block_size)):
+                db = d[off : off + block_size]
+                wb = w32[off : off + block_size]
+                tb = t[off : off + block_size]
+                first = int(db[0])
+                rows.append(
+                    (
+                        int(shards[s]),
+                        terms[s],
+                        bi,
+                        len(db),
+                        first,
+                        int(db[-1]),
+                        float(wb.max()),
+                        float(wb.min()),
+                        codec.encode_varints(codec.delta_encode(db, first)),
+                        codec.encode_varints(t[off : off + block_size]),
+                        codec.encode_f32(wb),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[f.name for f in SEGMENT_SCHEMA.fields],
+        )
+
+    for b in batches:
+        if len(b) == 0:
+            continue
+        if carry is not None:
+            b = pd.concat([carry, b], ignore_index=True)
+        # hold back the final (shard, term) group — it may continue
+        last_term = b["term"].iloc[-1]
+        last_shard = b["shard"].iloc[-1]
+        tail_mask = (b["term"] == last_term) & (b["shard"] == last_shard)
+        # the mask is a suffix because input is sorted by (shard, term)
+        tail_start = len(b) - int(tail_mask.sum())
+        carry = b.iloc[tail_start:].copy()
+        head = b.iloc[:tail_start]
+        if len(head):
+            yield encode(head)
+    if carry is not None and len(carry):
+        yield encode(carry)
+
+
+class IndexBuilder:
+    """Builds (and resumes) a doc-sharded BM25 index on disk.
+
+    index_dir/
+      meta.json                 global stats + build params
+      segments/group=G/         parquet, one commit unit per shard-group
+      term_stats/               parquet (term, df, max_weight)
+      lineage/group_G.json      commit manifests (stage metrics inside)
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        k1: float = 1.2,
+        b: float = 0.75,
+        block_size: int = BLOCK_SIZE,
+        shard_size: int = 1 << 14,
+        n_groups: int = 8,
+        lang: str | None = None,
+    ):
+        self.index_dir = index_dir
+        self.k1, self.b = k1, b
+        self.block_size = block_size
+        self.shard_size = shard_size
+        self.n_groups = n_groups
+        self.lang = lang
+
+    # --- lineage helpers --------------------------------------------------
+    def _lineage_path(self, group: int) -> str:
+        return os.path.join(self.index_dir, "lineage", f"group_{group}.json")
+
+    def committed_groups(self) -> set[int]:
+        d = os.path.join(self.index_dir, "lineage")
+        if not os.path.isdir(d):
+            return set()
+        out = set()
+        for f in os.listdir(d):
+            if f.startswith("group_") and f.endswith(".json"):
+                try:
+                    rec = json.load(open(os.path.join(d, f)))
+                    if rec.get("status") == "done":
+                        out.add(rec["group"])
+                except (json.JSONDecodeError, KeyError):
+                    pass  # torn write → treated as not committed
+        return out
+
+    def lineage(self) -> list[dict]:
+        return [
+            json.load(open(self._lineage_path(g)))
+            for g in sorted(self.committed_groups())
+        ]
+
+    # --- build ------------------------------------------------------------
+    def build(
+        self,
+        pages: DataFrame,
+        *,
+        resume: bool = True,
+        fail_after_groups: int | None = None,
+        n_docs: int | None = None,
+    ) -> dict:
+        """Build the index from a pages table; returns meta dict.
+        ``fail_after_groups`` injects a crash after N group commits (resume
+        test hook, FIXTURES.md §6)."""
+        return self.build_from_postings(
+            build_postings(pages, lang=self.lang),
+            resume=resume,
+            fail_after_groups=fail_after_groups,
+            n_docs=n_docs,
+        )
+
+    def build_from_postings(
+        self,
+        postings: DataFrame,
+        *,
+        resume: bool = True,
+        fail_after_groups: int | None = None,
+        n_docs: int | None = None,
+    ) -> dict:
+        """Build from a postings relation (doc_id, term, tf, dl) — also the
+        re-weighting entry for incremental merges (index_merge.py)."""
+        spark = postings.sparkSession
+        os.makedirs(os.path.join(self.index_dir, "lineage"), exist_ok=True)
+        os.makedirs(os.path.join(self.index_dir, "segments"), exist_ok=True)
+
+        weighted = bm25_weights(
+            postings, k1=self.k1, b=self.b, n_docs=n_docs
+        ).withColumn(
+            "shard", (F.col("doc_id") / self.shard_size).cast("int")
+        )
+        # weighted postings are recomputed per group job below; cache the
+        # moderately-sized weighted relation across group jobs
+        weighted = weighted.persist()
+
+        # global stats for meta.json + term stats (built once, idempotent)
+        meta_path = os.path.join(self.index_dir, "meta.json")
+        ts_path = os.path.join(self.index_dir, "term_stats")
+        run_id = uuid.uuid4().hex[:12]
+        if not os.path.exists(meta_path) or not resume:
+            corpus = weighted.agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                (F.sum(F.col("tf").cast("double")) / F.countDistinct("doc_id")).alias("avgdl"),
+                F.max("shard").alias("max_shard"),
+            ).first()
+            meta = {
+                "version": 1,
+                "run_id": run_id,
+                "n_docs": corpus["n_docs"],
+                "avgdl": corpus["avgdl"],
+                "n_shards": int(corpus["max_shard"]) + 1,
+                "shard_size": self.shard_size,
+                "block_size": self.block_size,
+                "k1": self.k1,
+                "b": self.b,
+                "n_groups": self.n_groups,
+                "lang": self.lang,
+            }
+            tmp = meta_path + ".tmp"
+            json.dump(meta, open(tmp, "w"), indent=1)
+            os.replace(tmp, meta_path)
+            ts_tmp = ts_path + "_tmp"
+            (
+                weighted.groupBy("term")
+                .agg(
+                    F.count("*").alias("df"),
+                    F.max("weight").cast("float").alias("max_weight"),
+                    F.min("weight").cast("float").alias("min_weight"),
+                )
+                .coalesce(4)
+                .write.mode("overwrite")
+                .parquet(ts_tmp)
+            )
+            if os.path.isdir(ts_path):
+                shutil.rmtree(ts_path)
+            os.replace(ts_tmp, ts_path)
+            # per-doc lengths (the BM25 "norms" table) — required to
+            # re-weight after incremental merges
+            ds_path = os.path.join(self.index_dir, "doc_stats")
+            ds_tmp = ds_path + "_tmp"
+            (
+                weighted.select("doc_id", "dl", "shard")
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(ds_tmp)
+            )
+            if os.path.isdir(ds_path):
+                shutil.rmtree(ds_path)
+            os.replace(ds_tmp, ds_path)
+        else:
+            meta = json.load(open(meta_path))
+
+        done = self.committed_groups() if resume else set()
+        n_committed_this_run = 0
+        bs = self.block_size
+        for g in range(self.n_groups):
+            if g in done:
+                continue
+            t0 = time.monotonic()
+            part = weighted.filter(F.col("shard") % self.n_groups == g)
+            seg = (
+                part.repartition(F.col("shard"))
+                .sortWithinPartitions("shard", "term", "doc_id")
+                .mapInPandas(
+                    lambda it, bs=bs: _encode_partition(it, bs),
+                    schema=SEGMENT_SCHEMA,
+                )
+            )
+            gdir = os.path.join(self.index_dir, "segments", f"group={g}")
+            gtmp = gdir + "__tmp"
+            if os.path.isdir(gtmp):
+                shutil.rmtree(gtmp)  # torn previous attempt
+            seg.write.mode("overwrite").parquet(gtmp)
+            stats = spark.read.parquet(gtmp).agg(
+                F.count("*").alias("blocks"),
+                F.sum("n").alias("postings"),
+                F.sum(F.octet_length("doc_deltas") + F.octet_length("tfs")
+                      + F.octet_length("weights")).alias("bytes"),
+            ).first()
+            if os.path.isdir(gdir):
+                shutil.rmtree(gdir)  # uncommitted leftovers
+            os.replace(gtmp, gdir)
+            rec = {
+                "stage": "segment_build",
+                "group": g,
+                "status": "done",
+                "run_id": run_id,
+                "blocks": stats["blocks"],
+                "postings": int(stats["postings"] or 0),
+                "bytes": int(stats["bytes"] or 0),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+            }
+            ltmp = self._lineage_path(g) + ".tmp"
+            json.dump(rec, open(ltmp, "w"))
+            os.replace(ltmp, self._lineage_path(g))
+            n_committed_this_run += 1
+            if (
+                fail_after_groups is not None
+                and n_committed_this_run >= fail_after_groups
+            ):
+                weighted.unpersist()
+                raise RuntimeError(
+                    f"injected failure after {n_committed_this_run} groups"
+                )
+        weighted.unpersist()
+        return meta
+
+
+def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "segments"))
+
+
+def read_meta(index_dir: str) -> dict:
+    return json.load(open(os.path.join(index_dir, "meta.json")))
+
+
+def read_term_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "term_stats"))
+
+
+def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "doc_stats"))

@@ -1,0 +1,158 @@
+"""Codec round-trip, SPIMI build, checkpoint/resume, and segment-query
+parity (exhaustive + Block-Max MaxScore pruned) vs the relational SQL path."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from similaripy_spark.fulltext import codec
+from similaripy_spark.fulltext.index_build import (
+    IndexBuilder,
+    read_meta,
+    read_segments,
+    read_term_stats,
+)
+from similaripy_spark.fulltext.postings import build_postings
+from similaripy_spark.fulltext.query import bm25_topk
+from similaripy_spark.fulltext.wand import segment_topk
+from similaripy_spark.fulltext.weights import bm25_weights
+from similaripy_spark.sources.pages import generate_pages, generate_queries_pandas
+
+N_DOCS, VOCAB = 1200, 1500
+
+
+# --- codec ------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        np.array([0], dtype=np.uint64),
+        np.array([1, 127, 128, 129, 16383, 16384], dtype=np.uint64),
+        np.array([2**63 - 1, 2**64 - 1, 0, 1], dtype=np.uint64),
+        np.arange(1000, dtype=np.uint64) ** 3,
+    ],
+)
+def test_varint_roundtrip(values):
+    buf = codec.encode_varints(values)
+    out = codec.decode_varints(buf, len(values))
+    np.testing.assert_array_equal(out, values)
+
+
+def test_varint_roundtrip_random():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        mags = rng.integers(0, 63, size=500)
+        vals = (rng.integers(0, 2**62, size=500).astype(np.uint64)
+                >> mags.astype(np.uint64))
+        buf = codec.encode_varints(vals)
+        np.testing.assert_array_equal(codec.decode_varints(buf, 500), vals)
+
+
+def test_delta_roundtrip():
+    docs = np.sort(np.random.default_rng(1).choice(10**12, 5000, replace=False))
+    deltas = codec.delta_encode(docs, int(docs[0]))
+    np.testing.assert_array_equal(codec.delta_decode(deltas, int(docs[0])), docs)
+
+
+# --- build + query -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    builder = IndexBuilder(d, shard_size=256, n_groups=4)
+    meta = builder.build(pages)
+    return d, meta, pages
+
+
+def test_meta_and_lineage(built):
+    d, meta, _ = built
+    assert meta["n_docs"] == N_DOCS
+    assert meta["n_shards"] == (N_DOCS + 255) // 256
+    lin = IndexBuilder(d, shard_size=256, n_groups=4).lineage()
+    assert len(lin) == 4
+    assert all(r["status"] == "done" and r["postings"] > 0 for r in lin)
+
+
+def test_segments_wellformed(spark, built):
+    d, meta, _ = built
+    seg = read_segments(spark, d)
+    bad = seg.filter(
+        (F.col("first_doc") > F.col("max_doc"))
+        | (F.col("n") <= 0)
+        | (F.col("n") > meta["block_size"])
+    ).count()
+    assert bad == 0
+    # postings total matches raw postings count
+    total = seg.agg(F.sum("n")).first()[0]
+    raw = build_postings(built[2]).count()
+    assert total == raw
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_segment_query_matches_sql_path(spark, built, prune):
+    d, meta, pages = built
+    queries_pd = generate_queries_pandas(40, vocab_size=VOCAB)
+    queries = spark.createDataFrame(queries_pd)
+
+    weighted = bm25_weights(build_postings(pages))
+    expected = (
+        bm25_topk(weighted, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        segment_topk(read_segments(spark, d), queries, k=10, prune=prune)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got["query_id"]) == list(expected["query_id"])
+    assert list(got["doc_id"]) == list(expected["doc_id"]), (
+        f"prune={prune}: rank order diverged"
+    )
+    np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
+
+
+def test_resume_after_injected_failure(spark, tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    pages = generate_pages(spark, 600, vocab_size=800)
+
+    # uninterrupted reference build
+    IndexBuilder(d1, shard_size=128, n_groups=4).build(pages)
+
+    # interrupted build: crash after 2 of 4 group commits
+    b2 = IndexBuilder(d2, shard_size=128, n_groups=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        b2.build(pages, fail_after_groups=2)
+    assert len(b2.committed_groups()) == 2
+
+    # resume recomputes exactly the missing groups
+    b2.build(pages, resume=True)
+    assert len(b2.committed_groups()) == 4
+
+    s1 = read_segments(spark, d1).orderBy("shard", "term", "block_id").toPandas()
+    s2 = read_segments(spark, d2).orderBy("shard", "term", "block_id").toPandas()
+    pd.testing.assert_frame_equal(s1, s2)
+
+
+def test_term_stats(spark, built):
+    d, _, pages = built
+    ts = read_term_stats(spark, d).toPandas().set_index("term")
+    raw = (
+        build_postings(pages)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .toPandas()
+        .set_index("term")
+    )
+    assert ts["df"].to_dict() == raw["df"].to_dict()
+    assert (ts["max_weight"] >= ts["min_weight"]).all()

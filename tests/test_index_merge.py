@@ -1,0 +1,117 @@
+"""Merged (term-major) layout, decode round-trip, incremental index merge
+with global re-weighting, and the term-major query path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from similaripy_spark.fulltext.index_build import (
+    IndexBuilder,
+    read_meta,
+    read_segments,
+)
+from similaripy_spark.fulltext.index_merge import (
+    decode_segments,
+    merge_indexes,
+    merge_to_term_major,
+    read_merged_for_terms,
+)
+from similaripy_spark.fulltext.postings import build_postings
+from similaripy_spark.fulltext.query import bm25_topk
+from similaripy_spark.fulltext.wand import segment_topk, term_major_topk
+from similaripy_spark.fulltext.weights import bm25_weights
+from similaripy_spark.sources.pages import generate_pages, generate_queries_pandas
+
+N_DOCS, VOCAB = 1000, 1200
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    IndexBuilder(d, shard_size=256, n_groups=4).build(pages)
+    merge_to_term_major(spark, d, n_buckets=16)
+    return d, pages
+
+
+def test_decode_roundtrip(spark, built):
+    d, pages = built
+    decoded = (
+        decode_segments(read_segments(spark, d))
+        .orderBy("doc_id", "term")
+        .toPandas()
+    )
+    raw = (
+        build_postings(pages)
+        .select("doc_id", "term", "tf")
+        .orderBy("doc_id", "term")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        decoded.reset_index(drop=True).astype({"tf": "int64"}),
+        raw.reset_index(drop=True).astype({"tf": "int64"}),
+    )
+
+
+def test_merged_pruned_scan(spark, built):
+    d, _ = built
+    terms = ["t000001", "t000042"]
+    df = read_merged_for_terms(spark, d, terms, n_buckets=16)
+    got_terms = {r["term"] for r in df.select("term").distinct().collect()}
+    assert got_terms == set(terms)
+    # partition pruning visible in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan
+
+
+def test_term_major_topk_matches_sql(spark, built):
+    d, pages = built
+    queries_pd = generate_queries_pandas(15, vocab_size=VOCAB)
+    queries = spark.createDataFrame(queries_pd)
+    expected = (
+        bm25_topk(bm25_weights(build_postings(pages)), queries, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        term_major_topk(spark, d, queries, k=10, n_buckets=16)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(expected["doc_id"])
+    np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
+
+
+def test_incremental_merge_reweights_globally(spark, tmp_path):
+    """Index halves separately, merge, compare against a from-scratch build
+    of the union — BM25 df/avgdl must reflect the merged corpus."""
+    pages = generate_pages(spark, 800, vocab_size=900)
+    a = pages.filter("doc_id < 400")
+    b = pages.filter("doc_id >= 400")
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    dm, dfull = str(tmp_path / "m"), str(tmp_path / "full")
+    kw = dict(shard_size=128, n_groups=2)
+    IndexBuilder(da, **kw).build(a)
+    IndexBuilder(db, **kw).build(b)
+    merge_indexes(spark, [da, db], dm)
+    IndexBuilder(dfull, **kw).build(pages)
+
+    sm = read_segments(spark, dm).orderBy("shard", "term", "block_id").toPandas()
+    sf = read_segments(spark, dfull).orderBy("shard", "term", "block_id").toPandas()
+    pd.testing.assert_frame_equal(sm.reset_index(drop=True), sf.reset_index(drop=True))
+    assert read_meta(dm)["n_docs"] == 800
+
+    # and queries over the merged index match the SQL path on the union
+    queries = spark.createDataFrame(generate_queries_pandas(10, vocab_size=900))
+    expected = (
+        bm25_topk(bm25_weights(build_postings(pages)), queries, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        segment_topk(read_segments(spark, dm), queries, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(expected["doc_id"])
+    np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
