@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator (SURVEY.md §2
+inventory + the fulltext stack + training-data pipeline ops); each has an
+ANSI-SQL oracle in ``oracle_sql()`` runnable by DuckDB over the same parquet
+views. Numeric outputs are rounded (6 dp) in BOTH engines; all intermediate
+aggregates are exact (integer-valued doubles or DECIMAL) wherever possible so
+cross-engine hashes match bit-for-bit.
+
+Matrix conventions used by the similarity entries:
+* ``lineitem`` matrix: row = l_orderkey, col = l_partkey,
+  value = sum(l_quantity) (integer-valued → exact aggregation).
+* ``documents`` postings: doc_id × term with tf counts, tokenizer =
+  lowercase split on [^a-z0-9]+ (identical regex both engines).
 """
 
 from __future__ import annotations
@@ -12,27 +19,874 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# shared loaders / fragments
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _li_matrix(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("value"))
+        .select(
+            F.col("l_orderkey").alias("row"),
+            F.col("l_partkey").alias("col"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+def _postings(spark, sf_dir):
+    from similaripy_spark.fulltext.postings import build_postings_sql_plan
+
+    return build_postings_sql_plan(_docs(spark, sf_dir))
+
+
+_R = 6  # rounding for float outputs
+
+
+def _r6(c):
+    """Engine-independent 6-dp rounding: floor(x*1e6 + 0.5)/1e6 — identical
+    IEEE ops in Spark and any SQL oracle engine (plain ROUND differs between
+    half-up and half-even at exactly-representable .5 boundaries)."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+
+
+# SQL fragment: the lineitem matrix
+_SQL_LI_M = """
+  m AS (SELECT l_orderkey AS row, l_partkey AS col,
+               CAST(SUM(l_quantity) AS DOUBLE) AS value
+        FROM lineitem GROUP BY 1, 2)
+"""
+
+# SQL fragment: documents postings with per-doc length
+_SQL_POSTINGS = """
+  toks AS (
+    SELECT doc_id, t.term FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents) t
+    WHERE t.term <> ''),
+  postings AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2),
+  doclen AS (
+    SELECT doc_id, term, tf, SUM(tf) OVER (PARTITION BY doc_id) AS dl
+    FROM postings)
+"""
+
+# SQL fragment: full s_plus-style joined aggregates over the lineitem matrix
+_SQL_XY = """
+  xy AS (SELECT a.row, b.row AS col, SUM(a.value * b.value) AS xy
+         FROM m a JOIN m b ON a.col = b.col
+         GROUP BY 1, 2),
+  xsq AS (SELECT row, SUM(value * value) AS xsq FROM m GROUP BY 1),
+  ysq AS (SELECT row AS col, SUM(value * value) AS ysq FROM m GROUP BY 1)
+"""
+# NOTE: m2 = transpose(m) ⇒ join on the shared m-col dimension and the output
+# col is the other matrix's row; ysq over m2 columns == per-row Σv² of m.
+
+
+def _topk_sql(score_expr: str, k: int = 10, extra_joins: str = "",
+              where: str = "TRUE") -> str:
+    """Window top-k over the xy/xsq/ysq CTEs with deterministic tie rule."""
+    return f""",
+  scored AS (
+    SELECT xy.row, xy.col, {score_expr} AS score
+    FROM xy JOIN xsq ON xy.row = xsq.row JOIN ysq ON xy.col = ysq.col
+    {extra_joins}),
+  kept AS (SELECT * FROM scored WHERE score >= 0 AND score <> 0 AND {where}),
+  ranked AS (
+    SELECT row, col, score,
+           ROW_NUMBER() OVER (PARTITION BY row ORDER BY score DESC, col ASC) AS rn
+    FROM kept)
+  SELECT row, col, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= {k}
+"""
+
+
+def _emit_topk(df: DataFrame) -> DataFrame:
+    return df.select("row", "col", _r6("value").alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check, sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 fulltext retrieval over the documents table with
+    data-derived queries (every 25th doc's first three tokens)."""
+    return _q_bm25_topk(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# individual queries
+# ---------------------------------------------------------------------------
+
+def _q_postings(spark, sf_dir):
+    return _postings(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+    )
+
+
+def _q_term_df(spark, sf_dir):
+    from similaripy_spark.fulltext.postings import term_stats
+
+    return term_stats(_postings(spark, sf_dir)).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def _q_bm25_weights(spark, sf_dir):
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    w = bm25_weights(_postings(spark, sf_dir))
+    return w.select("doc_id", "term", _r6("weight").alias("weight"))
+
+
+def _q_bm25plus_weights(spark, sf_dir):
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    w = bm25_weights(_postings(spark, sf_dir), delta=1.0)
+    return w.select("doc_id", "term", _r6("weight").alias("weight"))
+
+
+def _q_tfidf_weights(spark, sf_dir):
+    from similaripy_spark.functions.normalization import tfidf
+
+    m = _postings(spark, sf_dir).select(
+        F.col("doc_id").alias("row"),
+        F.col("term").alias("col"),
+        F.col("tf").cast("double").alias("value"),
+    )
+    # tfidf on string col ids works — grouping keys are opaque
+    out = tfidf(m, tf_mode="sqrt", idf_mode="smooth")
+    return out.select(
+        F.col("row").alias("doc_id"),
+        F.col("col").alias("term"),
+        _r6("value").alias("weight"),
+    )
+
+
+_SQL_TFIDF = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM postings)
+SELECT d.doc_id, d.term,
+       FLOOR((sqrt(d.tf) * ln(c.n_docs / (1 + s.df))) * 1000000 + 0.5) / 1000000 AS weight
+FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
+"""
+
+
+def _q_norm(spark, sf_dir, norm, axis=1):
+    from similaripy_spark.functions.normalization import normalize
+
+    m = _li_matrix(spark, sf_dir)
+    out = normalize(m, norm=norm, axis=axis)
+    return out.select("row", "col", _r6("value").alias("value"))
+
+
+_SQL_NORM = {
+    ("l1", 1): f"WITH {_SQL_LI_M} SELECT row, col, FLOOR((value / SUM(ABS(value)) OVER (PARTITION BY row)) * 1000000 + 0.5) / 1000000 AS value FROM m",
+    ("l2", 1): f"WITH {_SQL_LI_M} SELECT row, col, FLOOR((value / SQRT(SUM(value*value) OVER (PARTITION BY row))) * 1000000 + 0.5) / 1000000 AS value FROM m",
+    ("max", 1): f"WITH {_SQL_LI_M} SELECT row, col, FLOOR((value / MAX(value) OVER (PARTITION BY row)) * 1000000 + 0.5) / 1000000 AS value FROM m",
+    ("l2", 0): f"WITH {_SQL_LI_M} SELECT row, col, FLOOR((value / SQRT(SUM(value*value) OVER (PARTITION BY col))) * 1000000 + 0.5) / 1000000 AS value FROM m",
+}
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from similaripy_spark.fulltext.query import bm25_topk
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    w = bm25_weights(_postings(spark, sf_dir))
+    out = bm25_topk(w, queries, k=10)
+    return out.select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
+_SQL_BM25_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  queries AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, term FROM queries WHERE term <> ''),
+  scores AS (
+    SELECT q.query_id, w.doc_id, SUM(w.weight) AS score
+    FROM qterms q JOIN weights w ON q.term = w.term
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
+# --- similarity family over the lineitem matrix -----------------------------
+
+def _q_sim(name, **kw):
+    def run(spark, sf_dir):
+        import similaripy_spark as sps
+
+        m = _li_matrix(spark, sf_dir)
+        fn = getattr(sps, name)
+        return _emit_topk(fn(m, k=10, **kw))
+
+    return run
+
+
+_SQL_SIM = {
+    "dot_product_topk": f"WITH {_SQL_LI_M}, {_SQL_XY}{_topk_sql('xy.xy')}",
+    "cosine_topk": f"WITH {_SQL_LI_M}, {_SQL_XY}"
+    + _topk_sql("xy.xy / (POW(xsq.xsq, 0.5) * POW(ysq.ysq, 0.5))"),
+    "asymmetric_cosine_topk": f"WITH {_SQL_LI_M}, {_SQL_XY}"
+    + _topk_sql("xy.xy / (POW(xsq.xsq, 0.2) * POW(ysq.ysq, 0.8))"),
+    "jaccard_topk": f"WITH {_SQL_LI_M}, {_SQL_XY}"
+    + _topk_sql("xy.xy / (1.0*(xsq.xsq - xy.xy) + 1.0*(ysq.ysq - xy.xy) + xy.xy)"),
+    "dice_topk": f"WITH {_SQL_LI_M}, {_SQL_XY}"
+    + _topk_sql("xy.xy / (0.5*(xsq.xsq - xy.xy) + 0.5*(ysq.ysq - xy.xy) + xy.xy)"),
+    "tversky_topk": f"WITH {_SQL_LI_M}, {_SQL_XY}"
+    + _topk_sql("xy.xy / (0.8*(xsq.xsq - xy.xy) + 0.4*(ysq.ysq - xy.xy) + xy.xy)"),
+}
+
+# p3alpha: L1-normalize rows of m and of m.T, pow alpha, then dot topk
+_SQL_P3ALPHA = f"""
+WITH {_SQL_LI_M},
+  m1 AS (SELECT row, col, POW(value / SUM(value) OVER (PARTITION BY row), 0.7) AS value FROM m),
+  m2 AS (SELECT col AS row, row AS col, value FROM
+          (SELECT row, col, POW(value / SUM(value) OVER (PARTITION BY col), 0.7) AS value FROM m)),
+  xy AS (SELECT a.row, b.col, SUM(a.value * b.value) AS xy
+         FROM m1 a JOIN m2 b ON a.col = b.row GROUP BY 1, 2),
+  ranked AS (
+    SELECT row, col, xy AS score,
+           ROW_NUMBER() OVER (PARTITION BY row
+             ORDER BY FLOOR(xy * 1000000000 + 0.5) DESC, col ASC) AS rn
+    FROM xy WHERE xy > 0)
+SELECT row, col, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+# rp3beta: p3alpha / pop(col)^beta, pop = col sums of m2 = row sums of m... of
+# m2 BEFORE normalization; m2 = m.T so pop(col of m2) = col sums over m2 rows
+# = Σ over l_partkey dimension? m2 cols are l_orderkey ⇒ pop = row sums of m.
+_SQL_RP3BETA = f"""
+WITH {_SQL_LI_M},
+  pop AS (SELECT row AS col, SUM(value) AS p FROM m GROUP BY 1),
+  m1 AS (SELECT row, col, POW(value / SUM(value) OVER (PARTITION BY row), 0.9) AS value FROM m),
+  m2 AS (SELECT col AS row, row AS col, value FROM
+          (SELECT row, col, POW(value / SUM(value) OVER (PARTITION BY col), 0.9) AS value FROM m)),
+  xy AS (SELECT a.row, b.col, SUM(a.value * b.value) AS xy
+         FROM m1 a JOIN m2 b ON a.col = b.row GROUP BY 1, 2),
+  scored AS (SELECT xy.row, xy.col, xy.xy / POW(pop.p, 0.6) AS score
+             FROM xy JOIN pop ON xy.col = pop.col),
+  ranked AS (
+    SELECT row, col, score,
+           ROW_NUMBER() OVER (PARTITION BY row
+             ORDER BY FLOOR(score * 1000000000 + 0.5) DESC, col ASC) AS rn
+    FROM scored WHERE score > 0)
+SELECT row, col, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+_SQL_SPLUS = f"""
+WITH {_SQL_LI_M}, {_SQL_XY}""" + _topk_sql(
+    "xy.xy / (0.3*(1.0*(xsq.xsq - xy.xy) + 1.0*(ysq.ysq - xy.xy) + xy.xy)"
+    " + 0.7*(POW(xsq.xsq, 0.5) * POW(ysq.ysq, 0.5)))"
+)
+
+
+def _q_p3alpha(spark, sf_dir):
+    import similaripy_spark as sps
+
+    # tie_round: p3alpha scores are non-integer float sums, so cross-engine
+    # summation-order noise must be quantized before the top-k comparison
+    return _emit_topk(
+        sps.p3alpha(_li_matrix(spark, sf_dir), alpha=0.7, k=10, tie_round=9)
+    )
+
+
+def _q_rp3beta(spark, sf_dir):
+    import similaripy_spark as sps
+
+    return _emit_topk(sps.rp3beta(_li_matrix(spark, sf_dir), alpha=0.9,
+                                  beta=0.6, k=10, tie_round=9))
+
+
+def _q_s_plus(spark, sf_dir):
+    import similaripy_spark as sps
+
+    return _emit_topk(
+        sps.s_plus(_li_matrix(spark, sf_dir), l1=0.3, l2=0.7, t1=1.0, t2=1.0,
+                   c1=0.5, c2=0.5, k=10)
+    )
+
+
+def _q_dot_filter_target(spark, sf_dir):
+    """dot_product with target_rows + filter_cols array knobs."""
+    import similaripy_spark as sps
+
+    m = _li_matrix(spark, sf_dir)
+    targets = list(range(1, 400, 7))
+    excluded = list(range(1, 200))
+    return _emit_topk(
+        sps.dot_product(m, k=10, target_rows=targets, filter_cols=excluded)
+    )
+
+
+_SQL_DOT_FT = f"""
+WITH {_SQL_LI_M},
+  xy AS (SELECT a.row, b.row AS col, SUM(a.value * b.value) AS xy
+         FROM m a JOIN m b ON a.col = b.col
+         WHERE a.row % 7 = 1 AND a.row BETWEEN 1 AND 399
+           AND b.row NOT BETWEEN 1 AND 199
+         GROUP BY 1, 2),
+  ranked AS (
+    SELECT row, col, xy AS score,
+           ROW_NUMBER() OVER (PARTITION BY row ORDER BY xy DESC, col ASC) AS rn
+    FROM xy WHERE xy > 0)
+SELECT row, col, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
+# --- dedup family ------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    from similaripy_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select(
+        "doc_id", "canonical_id", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id,
+       CAST(COUNT(*) OVER (PARTITION BY md5(lower(text))) AS BIGINT) AS group_size
+FROM documents
+"""
+
+
+def _q_shingles(spark, sf_dir):
+    from similaripy_spark.operators.dedup import word_shingles
+
+    return word_shingles(_docs(spark, sf_dir), n=3)
+
+
+_SQL_SHINGLES = """
+WITH post AS (
+    SELECT doc_id, t.term, t.pos FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents) t
+    WHERE t.term <> ''),
+  led AS (
+    SELECT doc_id, term,
+           LEAD(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           LEAD(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM post)
+SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+FROM led WHERE t2 IS NOT NULL
+"""
+
+
+def _q_minhash(spark, sf_dir):
+    from similaripy_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=8).select(
+        "doc_id", F.col("h").cast("long").alias("h"),
+        F.col("minhash").cast("long").alias("minhash"),
+    )
+
+
+_SQL_MINHASH = f"""
+WITH post AS (
+    SELECT doc_id, t.term, t.pos FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents) t
+    WHERE t.term <> ''),
+  led AS (
+    SELECT doc_id, term,
+           LEAD(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           LEAD(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM post),
+  shingles AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM led WHERE t2 IS NOT NULL),
+  ids AS (
+    SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS shingle_id
+    FROM (SELECT DISTINCT shingle FROM shingles)),
+  sh AS (SELECT s.doc_id, i.shingle_id FROM shingles s JOIN ids i ON s.shingle = i.shingle),
+  hashes AS (
+    SELECT CAST(h AS BIGINT) AS h,
+           ((h * 2 + 1) * 2654435761) % 2038074743 AS a,
+           h * 40503 + 7 AS b
+    FROM range(8) t(h))
+SELECT sh.doc_id, hashes.h,
+       CAST(MIN((hashes.a * sh.shingle_id + hashes.b) % 2038074743) AS BIGINT) AS minhash
+FROM sh CROSS JOIN hashes
+GROUP BY 1, 2
+"""
+
+
+def _q_simhash(spark, sf_dir):
+    from similaripy_spark.operators.dedup import simhash
+
+    # 48 bits: bit 63 would overflow BIGINT shifts in ANSI engines
+    return simhash(_docs(spark, sf_dir), bits=48)
+
+
+_SQL_SIMHASH = """
+WITH toks AS (
+    SELECT doc_id, t.term FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents) t
+    WHERE t.term <> ''),
+  tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+  ids AS (SELECT term, CAST(DENSE_RANK() OVER (ORDER BY term) AS BIGINT) AS term_id
+          FROM (SELECT DISTINCT term FROM tf)),
+  tfi AS (SELECT tf.doc_id, tf.tf, ids.term_id FROM tf JOIN ids ON tf.term = ids.term),
+  bits AS (SELECT CAST(b AS BIGINT) AS bit FROM range(48) t(b)),
+  x0 AS (SELECT doc_id, tf, term_id, bit,
+               (term_id * 48271 + (bit + 1) * 16807) % 2147483647 AS x
+        FROM tfi CROSS JOIN bits),
+  x1 AS (SELECT doc_id, tf, bit, (xor(x, x >> 7) * 48271) % 2147483647 AS x FROM x0),
+  x2 AS (SELECT doc_id, tf, bit, (xor(x, x >> 11) * 16807) % 2147483647 AS x FROM x1),
+  g AS (SELECT doc_id, tf, bit, xor(x, x >> 5) % 2 AS g FROM x2),
+  per_bit AS (
+    SELECT doc_id, bit, SUM(CASE WHEN g = 1 THEN tf ELSE -tf END) AS s
+    FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY 1
+"""
+
+
+# --- text analysis -----------------------------------------------------------
+
+def _q_token_stats(spark, sf_dir):
+    from similaripy_spark.operators.textstats import token_stats
+
+    st = token_stats(_docs(spark, sf_dir))
+    return st.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        _r6("avg_token_len").alias("avg_token_len"),
+        _r6("uniq_ratio").alias("uniq_ratio"),
+    )
+
+
+_SQL_TOKEN_STATS = f"""
+WITH toks AS (
+    SELECT doc_id, t.term FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents) t
+    WHERE t.term <> ''),
+  agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_uniq,
+           SUM(CAST(LENGTH(term) AS DOUBLE)) AS tot_len
+    FROM toks GROUP BY 1),
+  ws AS (
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_ws_tokens
+    FROM documents)
+SELECT a.doc_id, a.n_tokens, w.n_ws_tokens, w.n_chars,
+       FLOOR((a.tot_len / GREATEST(a.n_tokens, 1)) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+       FLOOR((CAST(a.n_uniq AS DOUBLE) / GREATEST(a.n_tokens, 1)) * 1000000 + 0.5) / 1000000 AS uniq_ratio
+FROM agg a JOIN ws w ON a.doc_id = w.doc_id
+"""
+
+
+def _q_winnow(spark, sf_dir):
+    from similaripy_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+_SQL_WINNOW = """
+WITH post AS (
+    SELECT doc_id, t.term, t.pos FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents) t
+    WHERE t.term <> ''),
+  ids AS (SELECT term, CAST(DENSE_RANK() OVER (ORDER BY term) AS BIGINT) AS term_id
+          FROM (SELECT DISTINCT term FROM post)),
+  p AS (SELECT post.doc_id, post.pos, ids.term_id
+        FROM post JOIN ids ON post.term = ids.term),
+  kg AS (
+    SELECT doc_id, pos,
+      ((((((term_id % 2038074743) * 40503
+         + LEAD(term_id, 1) OVER w) % 2038074743) * 40503
+         + LEAD(term_id, 2) OVER w) % 2038074743) * 40503
+         + LEAD(term_id, 3) OVER w) % 2038074743 AS kg0,
+      LEAD(term_id, 4) OVER w AS last_id
+    FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+  kg2 AS (
+    SELECT doc_id, pos, (kg0 * 40503 + last_id) % 2038074743 AS kg_hash
+    FROM kg WHERE last_id IS NOT NULL)
+SELECT DISTINCT doc_id,
+       MIN(kg_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+FROM kg2
+"""
+
+
+def _q_lang_guess(spark, sf_dir):
+    from similaripy_spark.operators.textstats import stopword_lang_guess
+
+    return stopword_lang_guess(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_guess", F.col("hits").cast("long").alias("hits")
+    )
+
+
+def _sql_lang_guess():
+    from similaripy_spark.operators.textstats import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    cols = ",\n           ".join(
+        "SUM(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[l]), l
+        )
+        for l in langs
+    )
+    best = "GREATEST({})".format(", ".join(f"c_{l}" for l in langs))
+    guess = "CASE "
+    for l in langs:
+        guess += f"WHEN best > 0 AND c_{l} = best THEN '{l}' "
+    guess += "ELSE 'und' END"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, t.term FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents) t
+    WHERE t.term <> ''),
+  counts AS (
+    SELECT doc_id,
+           {cols}
+    FROM toks GROUP BY 1),
+  withbest AS (SELECT *, {best} AS best FROM counts)
+SELECT doc_id, {guess} AS lang_guess, CAST(best AS BIGINT) AS hits
+FROM withbest
+"""
+
+
+# --- embeddings / ANN ---------------------------------------------------------
+
+def _q_ann_cosine(spark, sf_dir):
+    from similaripy_spark.operators.ann import ann_bruteforce_topk
+
+    out = ann_bruteforce_topk(_emb(spark, sf_dir), k=5)
+    return out.select(
+        "row", F.col("col").alias("neighbor"), _r6("value").alias("score")
+    )
+
+
+_SQL_ANN_COSINE = """
+WITH m AS (
+    SELECT vec_id AS row, t.col - 1 AS col, CAST(t.v AS DOUBLE) AS value
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS col
+          FROM embeddings) t
+    WHERE t.v <> 0),
+  xy AS (SELECT a.row, b.row AS col, SUM(a.value * b.value) AS xy
+         FROM m a JOIN m b ON a.col = b.col GROUP BY 1, 2),
+  nrm AS (SELECT row, SUM(value * value) AS sq FROM m GROUP BY 1),
+  scored AS (
+    SELECT xy.row, xy.col, xy.xy / (POW(x.sq, 0.5) * POW(y.sq, 0.5)) AS score
+    FROM xy JOIN nrm x ON xy.row = x.row JOIN nrm y ON xy.col = y.row
+    WHERE xy.row <> xy.col AND xy.xy / (POW(x.sq, 0.5) * POW(y.sq, 0.5)) > 0),
+  ranked AS (
+    SELECT row, col, score,
+           ROW_NUMBER() OVER (PARTITION BY row ORDER BY score DESC, col ASC) AS rn
+    FROM scored)
+SELECT row, col AS neighbor, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 5
+"""
+
+
+def _q_knn_vote(spark, sf_dir):
+    from similaripy_spark.operators.ann import ann_bruteforce_topk
+
+    emb = _emb(spark, sf_dir)
+    nn = ann_bruteforce_topk(emb, k=5)
+    labels = emb.select(F.col("vec_id").alias("col"), F.col("label").cast("long").alias("nlabel"))
+    votes = (
+        nn.join(labels, "col")
+        .groupBy("row", "nlabel")
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("row").orderBy(F.desc("votes"), F.asc("nlabel"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("row", F.col("nlabel").alias("pred_label"), F.col("votes").cast("long").alias("votes"))
+    )
+
+
+_SQL_KNN_VOTE = """
+WITH m AS (
+    SELECT vec_id AS row, t.col - 1 AS col, CAST(t.v AS DOUBLE) AS value
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS col
+          FROM embeddings) t
+    WHERE t.v <> 0),
+  xy AS (SELECT a.row, b.row AS col, SUM(a.value * b.value) AS xy
+         FROM m a JOIN m b ON a.col = b.col GROUP BY 1, 2),
+  nrm AS (SELECT row, SUM(value * value) AS sq FROM m GROUP BY 1),
+  scored AS (
+    SELECT xy.row, xy.col, xy.xy / (POW(x.sq, 0.5) * POW(y.sq, 0.5)) AS score
+    FROM xy JOIN nrm x ON xy.row = x.row JOIN nrm y ON xy.col = y.row
+    WHERE xy.row <> xy.col AND xy.xy / (POW(x.sq, 0.5) * POW(y.sq, 0.5)) > 0),
+  ranked AS (
+    SELECT row, col, score,
+           ROW_NUMBER() OVER (PARTITION BY row ORDER BY score DESC, col ASC) AS rn
+    FROM scored),
+  nn AS (SELECT row, col FROM ranked WHERE rn <= 5),
+  votes AS (
+    SELECT nn.row, CAST(e.label AS BIGINT) AS nlabel, COUNT(*) AS votes
+    FROM nn JOIN embeddings e ON nn.col = e.vec_id
+    GROUP BY 1, 2),
+  vr AS (SELECT row, nlabel, votes,
+                ROW_NUMBER() OVER (PARTITION BY row ORDER BY votes DESC, nlabel ASC) AS rn
+         FROM votes)
+SELECT row, nlabel AS pred_label, CAST(votes AS BIGINT) AS votes FROM vr WHERE rn = 1
+"""
+
+
+# --- general relational breadth (sources, windows, decimal aggs) -------------
+
+def _q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("decimal(18,2)").alias("_sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_sp"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("_sd"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_base_price"),
+            F.col("_sd").cast("double").alias("sum_disc_price"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def _q_events_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        _r6(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("double")
+        ).alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
+_SQL_EVENTS_WINDOW = f"""
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+       FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS running_value,
+       LAG(event_type, 1) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def _q_order_priority(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+_SQL_ORDER_PRIORITY = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {
+        # fulltext stack
+        "postings": _q_postings,
+        "term_df": _q_term_df,
+        "bm25_weights": _q_bm25_weights,
+        "bm25plus_weights": _q_bm25plus_weights,
+        "tfidf_weights": _q_tfidf_weights,
+        "bm25_topk": _q_bm25_topk,
+        # normalizations (SURVEY §2 #1)
+        "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
+        "norm_l2_row": lambda s, d: _q_norm(s, d, "l2", 1),
+        "norm_max_row": lambda s, d: _q_norm(s, d, "max", 1),
+        "norm_l2_col": lambda s, d: _q_norm(s, d, "l2", 0),
+        # similarity family (SURVEY §2 #5-13)
+        "dot_product_topk": _q_sim("dot_product"),
+        "cosine_topk": _q_sim("cosine"),
+        "asymmetric_cosine_topk": _q_sim("asymmetric_cosine", alpha=0.2),
+        "jaccard_topk": _q_sim("jaccard"),
+        "dice_topk": _q_sim("dice"),
+        "tversky_topk": _q_sim("tversky", alpha=0.8, beta=0.4),
+        "p3alpha_topk": _q_p3alpha,
+        "rp3beta_topk": _q_rp3beta,
+        "s_plus_topk": _q_s_plus,
+        "dot_filter_target": _q_dot_filter_target,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "word_shingles": _q_shingles,
+        "minhash_signatures": _q_minhash,
+        "simhash": _q_simhash,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "winnow_fingerprints": _q_winnow,
+        "lang_guess": _q_lang_guess,
+        # embeddings / ANN
+        "ann_cosine_topk": _q_ann_cosine,
+        "knn_label_vote": _q_knn_vote,
+        # relational breadth
+        "pricing_summary": _q_pricing_summary,
+        "events_window": _q_events_window,
+        "order_priority": _q_order_priority,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "postings": f"WITH {_SQL_POSTINGS} SELECT doc_id, term, tf, CAST(dl AS BIGINT) AS dl FROM doclen",
+        "term_df": f"WITH {_SQL_POSTINGS} SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings WHERE tf > 0 GROUP BY 1",
+        "bm25_weights": f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings)
+SELECT d.doc_id, d.term,
+       FLOOR((ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+             * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl)))) * 1000000 + 0.5) / 1000000 AS weight
+FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
+""",
+        "bm25plus_weights": f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings)
+SELECT d.doc_id, d.term,
+       FLOOR((ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+             * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl)) + 1.0)) * 1000000 + 0.5) / 1000000 AS weight
+FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
+""",
+        "tfidf_weights": _SQL_TFIDF,
+        "bm25_topk": _SQL_BM25_TOPK,
+        "norm_l1_row": _SQL_NORM[("l1", 1)],
+        "norm_l2_row": _SQL_NORM[("l2", 1)],
+        "norm_max_row": _SQL_NORM[("max", 1)],
+        "norm_l2_col": _SQL_NORM[("l2", 0)],
+        "dot_product_topk": _SQL_SIM["dot_product_topk"],
+        "cosine_topk": _SQL_SIM["cosine_topk"],
+        "asymmetric_cosine_topk": _SQL_SIM["asymmetric_cosine_topk"],
+        "jaccard_topk": _SQL_SIM["jaccard_topk"],
+        "dice_topk": _SQL_SIM["dice_topk"],
+        "tversky_topk": _SQL_SIM["tversky_topk"],
+        "p3alpha_topk": _SQL_P3ALPHA,
+        "rp3beta_topk": _SQL_RP3BETA,
+        "s_plus_topk": _SQL_SPLUS,
+        "dot_filter_target": _SQL_DOT_FT,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "word_shingles": _SQL_SHINGLES,
+        "minhash_signatures": _SQL_MINHASH,
+        "simhash": _SQL_SIMHASH,
+        "token_stats": _SQL_TOKEN_STATS,
+        "winnow_fingerprints": _SQL_WINNOW,
+        "lang_guess": _sql_lang_guess(),
+        "ann_cosine_topk": _SQL_ANN_COSINE,
+        "knn_label_vote": _SQL_KNN_VOTE,
+        "pricing_summary": _SQL_PRICING,
+        "events_window": _SQL_EVENTS_WINDOW,
+        "order_priority": _SQL_ORDER_PRIORITY,
+    }

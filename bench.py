@@ -1,0 +1,219 @@
+"""Benchmark harness.
+
+Default run (what the driver invokes):
+  1. headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+  2. fulltext index build (synthetic Zipf pages) + BM25 top-10 query batch
+  3. two-parallelism scaling evidence: the same fulltext job at N and 4N
+     local cores in subprocesses → scaling efficiency (BASELINE.json north
+     rule; also written to BENCH/BASELINE.md)
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_DOCS, BENCH_QUERIES,
+BENCH_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _mk_spark(cpus: int):
+    from similaripy_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_local{cpus}",
+        parallelism=cpus,
+        shuffle_partitions=2 * cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
+    )
+
+
+def fulltext_bench(cpus: int, n_docs: int, n_queries: int, vocab: int) -> dict:
+    """Build + query throughput at a given parallelism; fresh session."""
+    from similaripy_spark.fulltext.index_build import IndexBuilder, read_segments
+    from similaripy_spark.fulltext.wand import segment_topk
+    from similaripy_spark.sources.pages import (
+        generate_pages,
+        generate_queries_pandas,
+    )
+
+    spark = _mk_spark(cpus)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            pages = generate_pages(spark, n_docs, vocab_size=vocab,
+                                   partitions=4 * cpus)
+            # generation is input-side cost, not index throughput: materialize
+            pages = pages.persist()
+            pages.count()
+
+            t0 = time.monotonic()
+            idx = os.path.join(d, "idx")
+            # shard layout is a property of the INDEX, not of the cluster
+            # size — identical at every parallelism level so the scaling
+            # comparison runs the same job on the same physical layout
+            IndexBuilder(
+                idx,
+                shard_size=max(n_docs // 128, 512),
+                n_groups=4,
+            ).build(pages)
+            build_s = time.monotonic() - t0
+
+            queries = spark.createDataFrame(
+                generate_queries_pandas(n_queries, vocab_size=vocab)
+            )
+            seg = read_segments(spark, idx).persist()
+            seg.count()
+            t0 = time.monotonic()
+            n_out = segment_topk(seg, queries, k=10).count()
+            query_s = time.monotonic() - t0
+            return {
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "n_queries": n_queries,
+                "build_sec": round(build_s, 3),
+                "build_docs_per_sec": round(n_docs / build_s, 1),
+                "query_sec": round(query_s, 3),
+                "queries_per_sec": round(n_queries / query_s, 1),
+                "result_rows": n_out,
+            }
+    finally:
+        spark.stop()
+
+
+def headline_queries(cpus: int, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    spark = _mk_spark(cpus)
+    try:
+        # warm the JVM/codegen/parquet-footer caches so the first timed
+        # query isn't charged for session startup
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        spark.range(1000).selectExpr("sum(id)").collect()
+        qs = E.queries()
+        picks = [
+            "bm25_topk",
+            "cosine_topk",
+            "dot_product_topk",
+            "rp3beta_topk",
+            "minhash_signatures",
+            "simhash",
+            "ann_cosine_topk",
+            "winnow_fingerprints",
+            "pricing_summary",
+            "events_window",
+        ]
+        out = {}
+        for name in picks:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.monotonic() - t0, 3)
+        return out
+    finally:
+        spark.stop()
+
+
+def main():
+    if "--fulltext-only" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
+        n_queries = int(os.environ.get("BENCH_QUERIES", "2000"))
+        vocab = int(os.environ.get("BENCH_VOCAB", "20000"))
+        print(json.dumps(fulltext_bench(cpus, n_docs, n_queries, vocab)))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
+
+    t_total = time.monotonic()
+    queries = headline_queries(cpus, sf_dir)
+
+    n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
+    n_queries = int(os.environ.get("BENCH_QUERIES", "2000"))
+    vocab = int(os.environ.get("BENCH_VOCAB", "20000"))
+
+    def run_level(level_cpus: int) -> dict:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--fulltext-only", "--cpus", str(level_cpus)],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+
+    fulltext = run_level(cpus)
+    queries["fulltext_build"] = fulltext["build_sec"]
+    queries["fulltext_query_batch"] = fulltext["query_sec"]
+
+    scaling = None
+    if os.environ.get("BENCH_SKIP_SCALING") != "1" and cpus >= 8:
+        low = max(cpus // 4, 2)
+        ft_low = run_level(low)
+        scaling = {
+            "low": ft_low,
+            "high": fulltext,
+            "build_efficiency": round(
+                (fulltext["build_docs_per_sec"] / ft_low["build_docs_per_sec"])
+                / (cpus / low),
+                3,
+            ),
+            "query_efficiency": round(
+                (fulltext["queries_per_sec"] / ft_low["queries_per_sec"])
+                / (cpus / low),
+                3,
+            ),
+        }
+        _write_baseline_md(fulltext, ft_low, scaling, cpus, low)
+
+    total = round(time.monotonic() - t_total, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "fulltext": fulltext,
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+def _write_baseline_md(high, low, scaling, cpus, low_cpus):
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling evidence
+
+Same job (synthetic Zipf pages → SPIMI index build → BM25 top-10 batch) at
+two local parallelism levels on identical input, per BASELINE.json's
+two-cluster-size rule (`local[{low_cpus}]` vs `local[{cpus}]`).
+
+| metric | local[{low_cpus}] | local[{cpus}] | efficiency ((hi/lo)/{cpus//low_cpus}) |
+|---|---|---|---|
+| index build docs/sec | {low['build_docs_per_sec']} | {high['build_docs_per_sec']} | {scaling['build_efficiency']} |
+| BM25 top-10 queries/sec | {low['queries_per_sec']} | {high['queries_per_sec']} | {scaling['query_efficiency']} |
+
+Corpus: {high['n_docs']} docs, {high['n_queries']} queries, Zipf(1.07)
+vocabulary (hot term ≈10% of tokens). Build time excludes synthetic page
+generation (input-side cost). Target: efficiency ≥ 0.8.
+""")
+
+
+if __name__ == "__main__":
+    main()

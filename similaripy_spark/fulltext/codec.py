@@ -25,12 +25,14 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64 bits / 7
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """uint64/int64 array → LEB128 byte stream (vectorized)."""
+def encode_varints_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint64/int64 array → (LEB128 byte stream, per-value byte lengths).
+    The lengths let callers slice the stream into sub-ranges (e.g. one
+    encode pass for a whole partition, then per-block byte slices)."""
     v = values.astype(np.uint64, copy=False)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes per value: 1 + #thresholds passed
     nbytes = np.ones(n, dtype=np.int64)
     for k in range(1, _MAX_VARINT_BYTES):
@@ -45,7 +47,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > b).astype(np.uint8) << 7  # continuation bit
         out[starts[mask] + b] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """uint64/int64 array → LEB128 byte stream (vectorized)."""
+    return encode_varints_with_lens(values)[0]
 
 
 def decode_varints(buf: bytes, count: int | None = None) -> np.ndarray:

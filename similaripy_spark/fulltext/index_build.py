@@ -73,45 +73,63 @@ def _encode_partition(
     carry: pd.DataFrame | None = None
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized block builder: per-block metadata via ``reduceat``,
+        varints for the WHOLE partition in one encode pass, per-block bytes
+        as offset slices — the only Python loop is the final cheap
+        bytes-slicing over blocks (≈1 µs each)."""
         terms = pdf["term"].to_numpy()
         shards = pdf["shard"].to_numpy(np.int32)
         docs = pdf["doc_id"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
-        weights = pdf["weight"].to_numpy(np.float64)
+        w32 = pdf["weight"].to_numpy(np.float64).astype(np.float32)
+        n = len(pdf)
         # group boundaries on (shard, term)
-        change = np.empty(len(pdf), dtype=bool)
+        change = np.empty(n, dtype=bool)
         change[0] = True
         change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(pdf))
-        rows = []
-        for s, e in zip(starts, ends):
-            d = docs[s:e]
-            w32 = weights[s:e].astype(np.float32)
-            t = tfs[s:e]
-            for bi, off in enumerate(range(0, e - s, block_size)):
-                db = d[off : off + block_size]
-                wb = w32[off : off + block_size]
-                tb = t[off : off + block_size]
-                first = int(db[0])
-                rows.append(
-                    (
-                        int(shards[s]),
-                        terms[s],
-                        bi,
-                        len(db),
-                        first,
-                        int(db[-1]),
-                        float(wb.max()),
-                        float(wb.min()),
-                        codec.encode_varints(codec.delta_encode(db, first)),
-                        codec.encode_varints(t[off : off + block_size]),
-                        codec.encode_f32(wb),
-                    )
-                )
+        gstart_idx = np.flatnonzero(change)
+        pos_in_group = np.arange(n) - np.repeat(
+            gstart_idx, np.diff(np.append(gstart_idx, n))
+        )
+        bstart = change | (pos_in_group % block_size == 0)
+        block_starts = np.flatnonzero(bstart)
+        block_ends = np.append(block_starts[1:], n)
+        block_n = block_ends - block_starts
+        block_id = (pos_in_group[block_starts] // block_size).astype(np.int32)
+        first_doc = docs[block_starts]
+        max_doc = docs[block_ends - 1]
+        max_score = np.maximum.reduceat(w32, block_starts)
+        min_score = np.minimum.reduceat(w32, block_starts)
+        # deltas with reset-to-0 at every block start
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[0] = 0
+        np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+        deltas[block_starts] = 0
+        dbuf, dlens = codec.encode_varints_with_lens(deltas.astype(np.uint64))
+        doff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dlens, out=doff[1:])
+        tbuf, tlens = codec.encode_varints_with_lens(tfs.astype(np.uint64))
+        toff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tlens, out=toff[1:])
+        wbuf = w32.tobytes()
+
+        dd = [dbuf[doff[s]:doff[e]] for s, e in zip(block_starts, block_ends)]
+        tt = [tbuf[toff[s]:toff[e]] for s, e in zip(block_starts, block_ends)]
+        ww = [wbuf[4 * s:4 * e] for s, e in zip(block_starts, block_ends)]
         return pd.DataFrame(
-            rows,
-            columns=[f.name for f in SEGMENT_SCHEMA.fields],
+            {
+                "shard": shards[block_starts],
+                "term": terms[block_starts],
+                "block_id": block_id,
+                "n": block_n.astype(np.int32),
+                "first_doc": first_doc,
+                "max_doc": max_doc,
+                "max_score": max_score,
+                "min_score": min_score,
+                "doc_deltas": dd,
+                "tfs": tt,
+                "weights": ww,
+            }
         )
 
     for b in batches:
@@ -306,12 +324,17 @@ class IndexBuilder:
             if os.path.isdir(gtmp):
                 shutil.rmtree(gtmp)  # torn previous attempt
             seg.write.mode("overwrite").parquet(gtmp)
+            # stats scan prunes to the tiny `n` column; byte size comes from
+            # the filesystem, not a decode of the binary columns
             stats = spark.read.parquet(gtmp).agg(
                 F.count("*").alias("blocks"),
                 F.sum("n").alias("postings"),
-                F.sum(F.octet_length("doc_deltas") + F.octet_length("tfs")
-                      + F.octet_length("weights")).alias("bytes"),
             ).first()
+            disk_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(gtmp)
+                for f in fs
+            )
             if os.path.isdir(gdir):
                 shutil.rmtree(gdir)  # uncommitted leftovers
             os.replace(gtmp, gdir)
@@ -322,7 +345,7 @@ class IndexBuilder:
                 "run_id": run_id,
                 "blocks": stats["blocks"],
                 "postings": int(stats["postings"] or 0),
-                "bytes": int(stats["bytes"] or 0),
+                "bytes": int(disk_bytes),
                 "wall_ms": int((time.monotonic() - t0) * 1000),
             }
             ltmp = self._lineage_path(g) + ".tmp"

@@ -91,6 +91,7 @@ def s_plus(
     target_rows: Selector = None,
     target_cols: Selector = None,
     filter_cols: Selector = None,
+    tie_round: int | None = None,
 ) -> DataFrame:
     """Generalized similarity (reference: similarity.py:506-592 public API,
     s_plus.h:129-156 formula):
@@ -249,7 +250,7 @@ def s_plus(
         (F.col("value") >= F.lit(float(threshold))) & (F.col("value") != 0.0)
     )
 
-    return top_k(scored, k)
+    return top_k(scored, k, tie_round=tie_round)
 
 
 # ---------------------------------------------------------------------------
@@ -331,7 +332,8 @@ def _l1_pow(m: DataFrame, alpha: float) -> DataFrame:
 
 def p3alpha(m1, m2=None, *, alpha=1.0, k=100, shrink=0.0,
             shrink_type="stabilized", threshold=0.0, binary=False,
-            target_rows=None, target_cols=None, filter_cols=None) -> DataFrame:
+            target_rows=None, target_cols=None, filter_cols=None,
+            tie_round=None) -> DataFrame:
     """3-step random-walk similarity (similarity.py:370-432): L1-normalize the
     rows of both matrices, raise to α, then plain top-k product. NOTE the
     reference passes ``binary`` through to the kernel, i.e. binarization is
@@ -343,12 +345,14 @@ def p3alpha(m1, m2=None, *, alpha=1.0, k=100, shrink=0.0,
     m2n = _l1_pow(m2, alpha)
     return s_plus(m1n, m2n, k=k, shrink=shrink, shrink_type=shrink_type,
                   threshold=threshold, binary=binary, target_rows=target_rows,
-                  target_cols=target_cols, filter_cols=filter_cols)
+                  target_cols=target_cols, filter_cols=filter_cols,
+                  tie_round=tie_round)
 
 
 def rp3beta(m1, m2=None, *, alpha=1.0, beta=1.0, k=100, shrink=0.0,
             shrink_type="stabilized", threshold=0.0, binary=False,
-            target_rows=None, target_cols=None, filter_cols=None) -> DataFrame:
+            target_rows=None, target_cols=None, filter_cols=None,
+            tie_round=None) -> DataFrame:
     """P3α divided by column popularity^β (similarity.py:435-503).
 
     Popularity = column sums of m2 BEFORE L1 normalization
@@ -365,4 +369,5 @@ def rp3beta(m1, m2=None, *, alpha=1.0, beta=1.0, k=100, shrink=0.0,
     return s_plus(m1n, m2n, l3=1.0, pop1="none", pop2=pop_m2, p2=float(beta),
                   k=k, shrink=shrink, shrink_type=shrink_type,
                   threshold=threshold, binary=binary, target_rows=target_rows,
-                  target_cols=target_cols, filter_cols=filter_cols)
+                  target_cols=target_cols, filter_cols=filter_cols,
+                  tie_round=tie_round)

@@ -1,0 +1,175 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+``token_stats`` / ``quality_score`` / ``stopword_lang_guess`` /
+``winnow_fingerprints`` are pure column-expression pipelines with exact SQL
+oracle twins. ``langid_ngram`` is the richer character-n-gram classifier as
+an Arrow-vectorized pandas UDF (profiles are public stopword/char-frequency
+knowledge, embedded as constants).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from similaripy_spark.fulltext.tokenizer import tokenize_expr
+
+_HA = 2654435761
+_HB = 40503
+_PRIME = 2038074743
+
+# small public stopword marker sets (top function words per language)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "dans"],
+    "es": ["el", "la", "los", "las", "es", "una", "que", "por", "con"],
+    "it": ["il", "di", "che", "la", "per", "una", "sono", "con", "del"],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token statistics: regex tokens, whitespace tokens, chars,
+    avg token length, distinct-token ratio."""
+    toks = tokenize_expr(F.col(text_col))
+    ws = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.length(text_col).alias("n_chars"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("avg_token_len"),
+        (
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("uniq_ratio"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: length band, alpha ratio,
+    distinct-token ratio — the usual web-text pre-filter features."""
+    st = token_stats(docs, text_col, id_col)
+    length_score = F.when(
+        (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 1000), 1.0
+    ).when(F.col("n_tokens") < 5, 0.0).otherwise(0.5)
+    alpha_ratio = F.col("n_tokens") / F.greatest(F.col("n_ws_tokens"), F.lit(1))
+    uniq = F.col("uniq_ratio")
+    score = (0.4 * length_score + 0.3 * F.least(alpha_ratio, F.lit(1.0)) + 0.3 * uniq)
+    return st.select(
+        "doc_id", "n_tokens", "uniq_ratio",
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def stopword_lang_guess(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SQL-oracle-able language guess: argmax of stopword-marker hit counts
+    (ties → lexicographically smallest language code; no hits → 'und')."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_expr(F.col(text_col))).alias("term"),
+    )
+    counts = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("term").isin(words), 1).otherwise(0)
+            ).alias(f"c_{lang}")
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"c_{l}") for l in langs])
+    guess = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties → apply in reverse
+        guess = F.when((best > 0) & (F.col(f"c_{l}") == best), F.lit(l)).otherwise(guess)
+    return counts.select("doc_id", guess.alias("lang_guess"), best.alias("hits"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    kgram: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003, simplified):
+    polynomial rolling hash over token-id k-grams, keep the distinct
+    window-minimum hashes per doc → (doc_id, fingerprint)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_expr(F.col(text_col))).alias("pos", "term"),
+    )
+    ids = (
+        toks.select("term")
+        .distinct()
+        .withColumn("term_id", F.dense_rank().over(Window.orderBy("term")).cast("long"))
+    )
+    toks = toks.join(ids, "term")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # polynomial hash of the k-gram of term ids (base B mod P)
+    h = F.col("term_id") % _PRIME
+    for i in range(1, kgram):
+        h = (h * _HB + F.lead("term_id", i).over(w)) % _PRIME
+    kg = (
+        toks.withColumn("kg_hash", h)
+        .withColumn("_complete", F.lead("term_id", kgram - 1).over(w).isNotNull())
+        .filter(F.col("_complete"))
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    fp = kg.withColumn("win_min", F.min("kg_hash").over(wmin))
+    return fp.select("doc_id", F.col("win_min").alias("fingerprint")).distinct()
+
+
+# --- character-n-gram language ID (pandas UDF path) -------------------------
+
+_CHAR_PROFILES = {
+    # top character trigrams per language (public linguistic knowledge)
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ion", " to"],
+    "de": ["en ", "er ", " de", "der", "ie ", "ch ", "sch", "die", "ein", " un"],
+    "fr": [" de", "es ", "de ", " le", "ent", "le ", "nt ", "la ", " la", "ion"],
+    "es": [" de", "de ", "os ", " la", "la ", "as ", "el ", " el", "ión", "es "],
+    "it": [" di", "di ", "to ", " co", "la ", "re ", "ell", " de", "del", "one"],
+}
+
+
+def _langid_pd(text: pd.Series) -> pd.Series:
+    t = (" " + text.str.lower().str.replace(r"[^a-zà-ÿ ]", " ", regex=True) + " ")
+    scores = {}
+    for lang, grams in _CHAR_PROFILES.items():
+        s = None
+        for g in grams:
+            c = t.str.count(__import__("re").escape(g))
+            s = c if s is None else s + c
+        scores[lang] = s
+    sdf = pd.DataFrame(scores)
+    best = sdf.idxmax(axis=1)
+    best[sdf.max(axis=1) <= 0] = "und"
+    return best
+
+
+langid_ngram_udf = pandas_udf(_langid_pd, T.StringType())
+
+
+def langid_ngram(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-trigram language ID (Arrow-vectorized pandas UDF)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        langid_ngram_udf(F.col(text_col)).alias("lang_pred"),
+    )

@@ -27,10 +27,21 @@ def top_k(
     order_value: str = "value",
     tiebreak: str = "col",
     keep_rank: bool = False,
+    tie_round: int | None = None,
 ) -> DataFrame:
-    """Keep the k largest ``order_value`` rows per ``group``."""
-    w = Window.partitionBy(group).orderBy(
-        F.col(order_value).desc(), F.col(tiebreak).asc()
-    )
+    """Keep the k largest ``order_value`` rows per ``group``.
+
+    ``tie_round``: quantize the ordering key to 10^-r via
+    ``floor(v*10^r + 0.5)`` before comparing. Scores that are equal up to
+    accumulated float noise (different summation orders) then sort as exact
+    ties and fall to the deterministic ``tiebreak`` — needed when the same
+    selection must reproduce bit-for-bit across engines/runs on
+    non-integer-valued inputs.
+    """
+    if tie_round is not None:
+        key = F.floor(F.col(order_value) * float(10**tie_round) + 0.5)
+    else:
+        key = F.col(order_value)
+    w = Window.partitionBy(group).orderBy(key.desc(), F.col(tiebreak).asc())
     out = df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     return out if keep_rank else out.drop("rank")

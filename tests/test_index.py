@@ -96,8 +96,11 @@ def test_segments_wellformed(spark, built):
     assert total == raw
 
 
-@pytest.mark.parametrize("prune", [False, True])
-def test_segment_query_matches_sql_path(spark, built, prune):
+@pytest.mark.parametrize(
+    "mode",
+    ["batch", "maxscore", "exhaustive"],
+)
+def test_segment_query_matches_sql_path(spark, built, mode):
     d, meta, pages = built
     queries_pd = generate_queries_pandas(40, vocab_size=VOCAB)
     queries = spark.createDataFrame(queries_pd)
@@ -109,15 +112,18 @@ def test_segment_query_matches_sql_path(spark, built, prune):
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+    kwargs = dict(
+        batch=(mode == "batch"), prune=(mode == "maxscore")
+    )
     got = (
-        segment_topk(read_segments(spark, d), queries, k=10, prune=prune)
+        segment_topk(read_segments(spark, d), queries, k=10, **kwargs)
         .toPandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
     assert list(got["query_id"]) == list(expected["query_id"])
     assert list(got["doc_id"]) == list(expected["doc_id"]), (
-        f"prune={prune}: rank order diverged"
+        f"mode={mode}: rank order diverged"
     )
     np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
 

@@ -1,0 +1,219 @@
+"""Tests for the training-data pipeline operators: dedup family, ANN,
+text analysis, multimodal plumbing — python oracles + real testdata."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from similaripy_spark.operators import ann, dedup, multimodal, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, documents):
+    """documents + planted exact and near duplicates."""
+    base = documents.limit(40).select("doc_id", "text")
+    exact = base.filter("doc_id < 5").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = base.filter("doc_id >= 5").filter("doc_id < 10").select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return base.union(exact).union(near).cache()
+
+
+def test_dedup_exact(spark, dup_docs):
+    out = dedup.dedup_exact(dup_docs).toPandas().set_index("doc_id")
+    for d in range(5):
+        assert out.loc[d + 10000, "canonical_id"] == d
+        assert out.loc[d + 10000, "group_size"] == 2
+        assert out.loc[d, "canonical_id"] == d
+    assert out.loc[20005, "group_size"] == 1  # near-dup is NOT exact-dup
+
+
+def _py_shingles(text, n=3):
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_jaccard_pairs(spark, dup_docs):
+    out = dedup.ngram_jaccard_pairs(dup_docs, n=3, threshold=0.5).toPandas()
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+    # exact dups -> jaccard 1.0; near dups -> high but < 1
+    for d in range(5):
+        assert got[(d, d + 10000)] == 1.0
+    for d in range(5, 10):
+        j = got[(d, d + 20000)]
+        s1, s2 = _py_shingles(texts[d]), _py_shingles(texts[d + 20000])
+        expected = len(s1 & s2) / len(s1 | s2)
+        np.testing.assert_allclose(j, expected, rtol=1e-9)
+    # every reported pair is correct against the python oracle
+    for (a, b), j in got.items():
+        s1, s2 = _py_shingles(texts[a]), _py_shingles(texts[b])
+        np.testing.assert_allclose(j, len(s1 & s2) / len(s1 | s2), rtol=1e-9)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
+    pairs = dedup.minhash_lsh_pairs(dup_docs, n_hashes=32, bands=8).toPandas()
+    got = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    for d in range(5):
+        assert (d, d + 10000) in got  # identical docs always collide
+    # near-dups (J ~ 0.97): extremely likely; assert at least 4/5 found
+    found = sum((d, d + 20000) in got for d in range(5, 10))
+    assert found >= 4
+    # signatures deterministic across runs
+    s1 = dedup.minhash_signatures(dup_docs, 8).orderBy("doc_id", "h").collect()
+    s2 = dedup.minhash_signatures(dup_docs, 8).orderBy("doc_id", "h").collect()
+    assert s1 == s2
+
+
+def test_simhash_and_pairs(spark, dup_docs):
+    sh = dedup.simhash(dup_docs).toPandas().set_index("doc_id")["simhash"]
+    for d in range(5):
+        assert sh[d] == sh[d + 10000]  # identical text -> identical simhash
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    for d in range(5, 10):
+        assert ham(sh[d], sh[d + 20000]) <= 6  # one appended token
+    pairs = dedup.simhash_pairs(dup_docs, max_hamming=6).toPandas()
+    got = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    for d in range(5):
+        assert (d, d + 10000) in got
+
+
+def test_ann_bruteforce_matches_numpy(spark, embeddings):
+    sub = embeddings.filter("vec_id < 80")
+    out = ann.ann_bruteforce_topk(sub, k=5).toPandas()
+    E = np.array(
+        sub.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(E, axis=1)
+    S = (E @ E.T) / np.outer(norms, norms)
+    np.fill_diagonal(S, -np.inf)
+    for row in range(80):
+        mine = out[out.row == row].sort_values("value", ascending=False)
+        exp_order = np.lexsort((np.arange(80), -S[row]))[:5]
+        assert set(mine["col"]) == set(exp_order.tolist()), f"row {row}"
+        np.testing.assert_allclose(
+            sorted(mine["value"], reverse=True),
+            sorted(S[row][exp_order], reverse=True),
+            rtol=1e-6,
+        )
+
+
+def test_ann_lsh_recall(spark, embeddings):
+    exact = ann.ann_bruteforce_topk(embeddings, k=5).toPandas()
+    approx = ann.ann_lsh_topk(embeddings, k=5, n_tables=6, n_planes=8).toPandas()
+    e = exact.groupby("row")["col"].apply(set)
+    a = approx.groupby("row")["col"].apply(set)
+    recalls = [
+        len(e[r] & a.get(r, set())) / len(e[r]) for r in e.index
+    ]
+    assert np.mean(recalls) > 0.55, f"mean recall {np.mean(recalls):.3f}"
+
+
+def test_token_stats_and_quality(spark, documents):
+    out = textstats.token_stats(documents.limit(20)).toPandas().set_index("doc_id")
+    texts = {r["doc_id"]: r["text"] for r in documents.limit(20).collect()}
+    import re
+
+    for d, t in texts.items():
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        assert out.loc[d, "n_tokens"] == len(toks)
+        assert out.loc[d, "n_chars"] == len(t)
+        np.testing.assert_allclose(
+            out.loc[d, "uniq_ratio"], len(set(toks)) / len(toks), rtol=1e-9
+        )
+    q = textstats.quality_score(documents.limit(20)).toPandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+
+
+def test_langid(spark):
+    samples = [
+        (0, "the quick brown fox and the lazy dog of the north"),
+        (1, "der schnelle braune fuchs und die faule katze nicht ein"),
+        (2, "le renard brun et rapide dans les bois est une merveille"),
+        (3, "el zorro marrón rápido y el perro perezoso es una maravilla"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    ng = textstats.langid_ngram(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert ng[0] == "en" and ng[1] == "de" and ng[2] == "fr" and ng[3] == "es"
+    sw = textstats.stopword_lang_guess(df).toPandas().set_index("doc_id")["lang_guess"]
+    assert sw[0] == "en" and sw[1] == "de" and sw[2] == "fr" and sw[3] == "es"
+
+
+def test_winnow_fingerprints(spark, dup_docs):
+    fp = textstats.winnow_fingerprints(dup_docs).toPandas()
+    by_doc = fp.groupby("doc_id")["fingerprint"].apply(set)
+    for d in range(5):  # identical docs -> identical fingerprint sets
+        assert by_doc[d] == by_doc[d + 10000]
+    # determinism
+    fp2 = textstats.winnow_fingerprints(dup_docs).toPandas()
+    assert set(map(tuple, fp.values.tolist())) == set(map(tuple, fp2.values.tolist()))
+
+
+# --- multimodal --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, bytes.fromhex("89504e470d0a1a0a") + b"x" * 100),  # png
+        (1, bytes.fromhex("ffd8ffe0") + b"y" * 50),  # jpeg
+        (2, bytes.fromhex("494433") + b"z" * 80),  # mp3
+        (3, b"<html><body>hi</body></html>"),
+        (4, b"\x00" * 10),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, media binary")
+
+
+def test_sniff_and_meta(spark, media):
+    out = multimodal.sniff_media_type(media).toPandas().set_index("doc_id")
+    assert out.loc[0, "media_type"] == "png"
+    assert out.loc[1, "media_type"] == "jpeg"
+    assert out.loc[2, "media_type"] == "mp3"
+    assert out.loc[3, "media_type"] == "html"
+    assert out.loc[4, "media_type"] == "unknown"
+    meta = multimodal.binary_meta(media).toPandas().set_index("doc_id")
+    assert meta.loc[0, "media_bytes"] == 108
+    assert meta.loc[0, "magic_hex"] == "89504e47"
+
+
+def test_histogram_features(spark, media):
+    out = multimodal.extract_features(media, mode="histogram").toPandas().set_index("doc_id")
+    blob = bytes.fromhex("89504e470d0a1a0a") + b"x" * 100
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    exp = np.bincount(arr >> 4, minlength=16) / len(arr)
+    np.testing.assert_allclose(out.loc[0, "feature"], exp, rtol=1e-6)
+
+
+def test_decode_stub_raises(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.extract_features(media, mode="decode").collect()
+
+
+def test_frame_sample(spark, media):
+    out = multimodal.frame_sample(media, n_frames=4, frame_bytes=8).toPandas()
+    f0 = out[out.doc_id == 0]
+    assert len(f0) == 4
+    assert list(f0["frame_id"]) == [0, 1, 2, 3]
+    blob = bytes.fromhex("89504e470d0a1a0a") + b"x" * 100
+    assert bytes(f0.iloc[0]["frame"]) == blob[:8]

@@ -12,6 +12,7 @@ from similaripy_spark.fulltext import codec
 from similaripy_spark.fulltext.wand import (
     _ShardIndex,
     _local_topk,
+    _score_batch,
     _score_exhaustive,
     _score_maxscore,
 )
@@ -67,6 +68,31 @@ def test_maxscore_matches_exhaustive(seed, neg_shift):
             f"max={list(zip(d2, s2))[:5]}"
         )
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+@pytest.mark.parametrize("neg_shift", [0.0, 3.5])
+@pytest.mark.parametrize("seed", [4, 5])
+def test_batch_matches_exhaustive(seed, neg_shift):
+    """The pruned batch scorer (rare-exhaustive + hot-probe + fallback)
+    must be exact for every query, including hot-only queries."""
+    rng = np.random.default_rng(seed)
+    seg = make_shard(rng, neg_shift=neg_shift)
+    terms = sorted(seg["term"].unique())
+    idx = _ShardIndex(seg)
+    qrows = []
+    for qi in range(150):
+        qt = list(rng.choice(terms, size=int(rng.integers(1, 7)), replace=False))
+        qrows.append((qi, qt))
+    q_pdf = pd.DataFrame(qrows, columns=["query_id", "terms"])
+    k = 10
+    got = _score_batch(_ShardIndex(seg), q_pdf, k)
+    for qi, qt in qrows:
+        d1, s1 = _local_topk(*_score_exhaustive(idx, qt), k)
+        sub = got[got.query_id == qi].sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        )
+        assert list(sub["doc_id"]) == d1.tolist(), f"q{qi} terms={qt}"
+        np.testing.assert_allclose(sub["score"], s1, rtol=1e-9)
 
 
 def test_maxscore_unknown_and_single_term():
