@@ -491,6 +491,172 @@ FROM per_bit GROUP BY 1
 """
 
 
+def _q_jaccard_pairs(spark, sf_dir):
+    from similaripy_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.02)
+    return out.select("doc_a", "doc_b", _r6("jaccard").alias("jaccard"))
+
+
+_SQL_JACCARD_PAIRS = """
+WITH post AS (
+    SELECT doc_id, t.term, t.pos FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents) t
+    WHERE t.term <> ''),
+  led AS (
+    SELECT doc_id, term,
+           LEAD(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           LEAD(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM post),
+  shingles AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM led WHERE t2 IS NOT NULL),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+  j AS (
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id)
+SELECT doc_a, doc_b, FLOOR((jaccard) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM j WHERE jaccard >= 0.02
+"""
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from similaripy_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=8, bands=4)
+
+
+_SQL_LSH_PAIRS = """
+WITH post AS (
+    SELECT doc_id, t.term, t.pos FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term,
+             generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
+      FROM documents) t
+    WHERE t.term <> ''),
+  led AS (
+    SELECT doc_id, term,
+           LEAD(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+           LEAD(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM post),
+  shingles AS (
+    SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
+    FROM led WHERE t2 IS NOT NULL),
+  ids AS (
+    SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS shingle_id
+    FROM (SELECT DISTINCT shingle FROM shingles)),
+  sh AS (SELECT s.doc_id, i.shingle_id FROM shingles s JOIN ids i ON s.shingle = i.shingle),
+  hashes AS (
+    SELECT CAST(h AS BIGINT) AS h,
+           ((h * 2 + 1) * 2654435761) % 2038074743 AS a,
+           h * 40503 + 7 AS b
+    FROM range(8) t(h)),
+  sig AS (
+    SELECT sh.doc_id, hashes.h, CAST(hashes.h / 2 AS INT) AS band,
+           MIN((hashes.a * sh.shingle_id + hashes.b) % 2038074743) AS minhash
+    FROM sh CROSS JOIN hashes GROUP BY 1, 2, 3),
+  band_sig AS (
+    SELECT doc_id, band,
+           string_agg(minhash::VARCHAR, ',' ORDER BY h) AS sig
+    FROM sig GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band_sig a JOIN band_sig b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _q_quality(spark, sf_dir):
+    from similaripy_spark.operators.textstats import quality_score
+
+    q = quality_score(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _r6("uniq_ratio").alias("uniq_ratio"),
+        _r6("quality").alias("quality"),
+    )
+
+
+_SQL_QUALITY = """
+WITH toks AS (
+    SELECT doc_id, t.term FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents) t
+    WHERE t.term <> ''),
+  agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS DOUBLE) AS n_uniq
+    FROM toks GROUP BY 1),
+  ws AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_ws
+    FROM documents),
+  feat AS (
+    SELECT a.doc_id, a.n_tokens,
+           a.n_uniq / GREATEST(a.n_tokens, 1) AS uniq_ratio,
+           CASE WHEN a.n_tokens BETWEEN 50 AND 1000 THEN 1.0
+                WHEN a.n_tokens < 5 THEN 0.0 ELSE 0.5 END AS length_score,
+           LEAST(CAST(a.n_tokens AS DOUBLE) / GREATEST(w.n_ws, 1), 1.0) AS alpha_ratio
+    FROM agg a JOIN ws w ON a.doc_id = w.doc_id)
+SELECT doc_id, n_tokens,
+       FLOOR((uniq_ratio) * 1000000 + 0.5) / 1000000 AS uniq_ratio,
+       FLOOR((0.4 * length_score + 0.3 * alpha_ratio + 0.3 * uniq_ratio) * 1000000 + 0.5) / 1000000 AS quality
+FROM feat
+"""
+
+
+def _q_cosine_bayes(spark, sf_dir):
+    import similaripy_spark as sps
+
+    return _emit_topk(
+        sps.cosine(_li_matrix(spark, sf_dir), k=10, shrink=5.0,
+                   shrink_type="bayesian")
+    )
+
+
+_SQL_COSINE_BAYES = f"WITH {_SQL_LI_M}, {_SQL_XY}" + _topk_sql(
+    "(xy.xy / (POW(xsq.xsq, 0.5) * POW(ysq.ysq, 0.5))) * (xy.xy / (xy.xy + 5.0))"
+)
+
+
+def _q_tfidf_logprob(spark, sf_dir):
+    from similaripy_spark.functions.normalization import tfidf
+
+    m = _postings(spark, sf_dir).select(
+        F.col("doc_id").alias("row"),
+        F.col("term").alias("col"),
+        F.col("tf").cast("double").alias("value"),
+    )
+    out = tfidf(m, tf_mode="log", idf_mode="prob")
+    return out.select(
+        F.col("row").alias("doc_id"),
+        F.col("col").alias("term"),
+        _r6("value").alias("weight"),
+    )
+
+
+_SQL_TFIDF_LOGPROB = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM postings)
+SELECT d.doc_id, d.term,
+       FLOOR((ln(1 + d.tf) * ln((c.n_docs - s.df) / s.df)) * 1000000 + 0.5) / 1000000 AS weight
+FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 def _q_token_stats(spark, sf_dir):
@@ -819,11 +985,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "word_shingles": _q_shingles,
         "minhash_signatures": _q_minhash,
+        "minhash_lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         # text analysis
         "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
         "winnow_fingerprints": _q_winnow,
         "lang_guess": _q_lang_guess,
+        # extra similarity knobs / weighting modes
+        "cosine_bayes_shrink": _q_cosine_bayes,
+        "tfidf_log_prob": _q_tfidf_logprob,
         # embeddings / ANN
         "ann_cosine_topk": _q_ann_cosine,
         "knn_label_vote": _q_knn_vote,
@@ -880,8 +1052,13 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "dedup_exact": _SQL_DEDUP_EXACT,
         "word_shingles": _SQL_SHINGLES,
         "minhash_signatures": _SQL_MINHASH,
+        "minhash_lsh_pairs": _SQL_LSH_PAIRS,
+        "ngram_jaccard_pairs": _SQL_JACCARD_PAIRS,
         "simhash": _SQL_SIMHASH,
         "token_stats": _SQL_TOKEN_STATS,
+        "quality_score": _SQL_QUALITY,
+        "cosine_bayes_shrink": _SQL_COSINE_BAYES,
+        "tfidf_log_prob": _SQL_TFIDF_LOGPROB,
         "winnow_fingerprints": _SQL_WINNOW,
         "lang_guess": _sql_lang_guess(),
         "ann_cosine_topk": _SQL_ANN_COSINE,

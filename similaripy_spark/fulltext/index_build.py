@@ -171,6 +171,7 @@ class IndexBuilder:
         shard_size: int = 1 << 14,
         n_groups: int = 8,
         lang: str | None = None,
+        group_concurrency: int = 1,
     ):
         self.index_dir = index_dir
         self.k1, self.b = k1, b
@@ -178,6 +179,7 @@ class IndexBuilder:
         self.shard_size = shard_size
         self.n_groups = n_groups
         self.lang = lang
+        self.group_concurrency = group_concurrency
 
     # --- lineage helpers --------------------------------------------------
     def _lineage_path(self, group: int) -> str:
@@ -302,17 +304,33 @@ class IndexBuilder:
             os.replace(ds_tmp, ds_path)
         else:
             meta = json.load(open(meta_path))
+        self._n_shards_hint = int(meta.get("n_shards", 0))
 
         done = self.committed_groups() if resume else set()
-        n_committed_this_run = 0
         bs = self.block_size
-        for g in range(self.n_groups):
-            if g in done:
-                continue
+
+        def build_group(g: int) -> None:
             t0 = time.monotonic()
             part = weighted.filter(F.col("shard") % self.n_groups == g)
+            # Over-provisioned hash partitioning: hashing S dense shard ids
+            # into S partitions leaves ~37% empty and 3-4-shard stragglers
+            # (the balls-in-bins max load caps wall time); 4× partitions
+            # makes collisions rare without a range-partitioner sampling
+            # job. Sub-shard balance comes from also hashing a term salt.
+            shards_in_group = max(
+                (getattr(self, "_n_shards_hint", 0) + self.n_groups - 1)
+                // self.n_groups,
+                1,
+            )
+            n_parts = max(
+                4 * shards_in_group,
+                weighted.sparkSession.sparkContext.defaultParallelism,
+                8,
+            )
             seg = (
-                part.repartition(F.col("shard"))
+                part.repartition(
+                    n_parts, F.col("shard"), F.crc32(F.col("term")) % 4
+                )
                 .sortWithinPartitions("shard", "term", "doc_id")
                 .mapInPandas(
                     lambda it, bs=bs: _encode_partition(it, bs),
@@ -351,16 +369,34 @@ class IndexBuilder:
             ltmp = self._lineage_path(g) + ".tmp"
             json.dump(rec, open(ltmp, "w"))
             os.replace(ltmp, self._lineage_path(g))
-            n_committed_this_run += 1
-            if (
-                fail_after_groups is not None
-                and n_committed_this_run >= fail_after_groups
-            ):
-                weighted.unpersist()
-                raise RuntimeError(
-                    f"injected failure after {n_committed_this_run} groups"
-                )
-        weighted.unpersist()
+
+        pending = [g for g in range(self.n_groups) if g not in done]
+        try:
+            if fail_after_groups is not None:
+                # deterministic sequential mode for the crash-injection test
+                n_committed = 0
+                for g in pending:
+                    build_group(g)
+                    n_committed += 1
+                    if n_committed >= fail_after_groups:
+                        raise RuntimeError(
+                            f"injected failure after {n_committed} groups"
+                        )
+            elif self.group_concurrency > 1:
+                # opt-in: independent commit units can run as concurrent
+                # Spark jobs — measured to help only when each group job is
+                # too small to fill the cluster alone
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(self.group_concurrency, max(len(pending), 1))
+                ) as pool:
+                    list(pool.map(build_group, pending))
+            else:
+                for g in pending:
+                    build_group(g)
+        finally:
+            weighted.unpersist()
         return meta
 
 

@@ -313,24 +313,21 @@ _EMPTY_RESULT = {
 
 
 def _score_batch(
-    idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, hot_frac: float = 0.125
+    idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int = 256
 ) -> pd.DataFrame:
-    """Score ALL queries of the shard in one vectorized flow, with hot-term
-    pruning (the batch form of Block-Max MaxScore):
+    """Dense-accumulator batch scorer — the distributed twin of the
+    reference's SPA (s_plus.h:71-240), vectorized across a whole query
+    chunk: every (query, term) pair scatter-adds the term's posting weights
+    into a (chunk × shard_span) dense score grid via ONE np.bincount; a
+    parallel unweighted bincount marks matched cells (absence ≠ score 0,
+    scores can be negative). Top-k per row via argpartition + tie-exact
+    refinement (all cells ≥ the k-th value re-ranked by (-score, doc)).
 
-    1. RARE terms (shard df < hot_frac · shard-max-df, min 64) are scored
-       exhaustively for every referencing query — one bulk decode, one
-       np.unique aggregation.
-    2. HOT terms never scan per query: each hot term's (sorted) posting list
-       is probed by binary search ONLY at the candidate docs phase 1
-       produced. Candidates then hold their EXACT final scores.
-    3. Exactness bound per query: a non-candidate doc can score at most
-       Σ max(0, tmax_hot). Queries where that bound reaches their k-th best
-       candidate score — or with fewer than k candidates — fall back to the
-       plain exhaustive pass (rare on BM25+Zipf: hot terms have negative
-       idf). Everything stays exact; only work is skipped.
-    """
-    qids = q_pdf["query_id"].to_numpy(np.int64)
+    No sorting of candidate lists, no np.unique — cost is linear in
+    Σ_q Σ_t df_t(shard) plus one O(chunk·span) partition pass. Memory is
+    bounded by ``chunk`` (2048 × shard span doubles ≈ 200 MB at 12k-doc
+    shards)."""
+    qids_all = q_pdf["query_id"].to_numpy(np.int64)
     incidence: dict[str, list[int]] = {}
     for qi, terms in enumerate(q_pdf["terms"]):
         for t in dict.fromkeys(terms):
@@ -338,93 +335,67 @@ def _score_batch(
                 incidence.setdefault(t, []).append(qi)
     if not incidence:
         return pd.DataFrame(_EMPTY_RESULT)
-
     docs, weights, spans = idx.decode_terms(list(incidence))
     if len(docs) == 0:
         return pd.DataFrame(_EMPTY_RESULT)
-    sizes = {t: e - s for t, (s, e) in spans.items()}
-    cutoff = max(64, int(max(sizes.values()) * hot_frac))
-    hot = {t for t, n in sizes.items() if n >= cutoff}
-    rare = set(spans) - hot
+    d_min = int(docs.min())
+    span = int(docs.max()) - d_min + 1
+    local = docs - d_min
 
-    # ---- phase 1: exhaustive over rare terms --------------------------
-    q_all, gather = _gather_terms(incidence, spans, rare)
-    if len(q_all):
-        uq, ud, scores = _accumulate(q_all, docs[gather], weights[gather])
-    else:
-        uq = np.zeros(0, np.int64)
-        ud = np.zeros(0, np.int64)
-        scores = np.zeros(0, np.float64)
-
-    # ---- phase 2: probe hot terms at candidate positions --------------
-    hot_gain = np.zeros(len(q_pdf), np.float64)  # Σ max(0, tmax) per query
-    for t in hot:
-        s, e = spans[t]
-        h_docs = docs[s:e]
-        h_w = weights[s:e]
-        tmax = h_w.max() if len(h_w) else 0.0
-        qlist = np.asarray(incidence[t], np.int64)
-        if tmax > 0:
-            hot_gain[qlist] += tmax
-        if len(uq) == 0:
-            continue
-        qmask = np.isin(uq, qlist)
-        if not qmask.any():
-            continue
-        cand = ud[qmask]
-        pos = np.searchsorted(h_docs, cand)
-        pos_c = np.minimum(pos, len(h_docs) - 1)
-        hitw = np.where(h_docs[pos_c] == cand, h_w[pos_c], 0.0)
-        scores[qmask] += hitw
-
-    # ---- phase 3: exactness bound → fallback set ----------------------
-    has_rare = np.zeros(len(q_pdf), bool)
-    has_any = np.zeros(len(q_pdf), bool)
-    for t, qlist in incidence.items():
-        ql = np.asarray(qlist, np.int64)
-        has_any[ql] = True
-        if t in rare:
-            has_rare[ql] = True
-    need_fallback = has_any & ~has_rare  # hot-only queries must scan
-    if len(uq):
-        # per-query candidate count and k-th best score
-        order = np.lexsort((ud, -scores, uq))
-        suq, sscores = uq[order], scores[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], suq[1:] != suq[:-1]))
-        )
-        counts = np.diff(np.append(starts, len(suq)))
-        qs_present = suq[starts]
-        kth = np.where(
-            counts >= k, sscores[np.minimum(starts + k - 1, len(suq) - 1)], -np.inf
-        )
-        need = (counts < k) | (hot_gain[qs_present] >= kth)
-        need_fallback[qs_present[need]] = True
-    else:
-        need_fallback |= has_any
-
+    n_q = len(q_pdf)
+    # per-term query lists, sorted once; per-chunk slices via searchsorted
+    inc_sorted = {
+        t: np.asarray(ql, np.int64) for t, ql in incidence.items()
+    }
     out_parts = []
-    done_mask = ~need_fallback
-    if len(uq):
-        keep_q = done_mask[uq]
-        if keep_q.any():
-            out_parts.append(
-                _group_topk_df(qids, uq[keep_q], ud[keep_q], scores[keep_q], k)
+    for c0 in range(0, n_q, chunk):
+        c1 = min(c0 + chunk, n_q)
+        nq = c1 - c0
+        flat_parts, w_parts = [], []
+        for t, ql_all in inc_sorted.items():
+            lo = np.searchsorted(ql_all, c0)
+            hi = np.searchsorted(ql_all, c1)
+            if lo == hi:
+                continue
+            ql = ql_all[lo:hi]
+            s, e = spans[t]
+            tl = local[s:e]
+            tw = weights[s:e]
+            base = (ql - c0) * span
+            flat_parts.append(
+                (np.repeat(base, e - s) + np.tile(tl, len(ql)))
             )
-    fb = np.flatnonzero(need_fallback)
-    if len(fb):
-        fb_set = set(fb.tolist())
-        fb_incidence = {
-            t: [q for q in ql if q in fb_set]
-            for t, ql in incidence.items()
-        }
-        fb_incidence = {t: ql for t, ql in fb_incidence.items() if ql}
-        q_all, gather = _gather_terms(fb_incidence, spans, None)
-        if len(q_all):
-            fuq, fud, fscores = _accumulate(
-                q_all, docs[gather], weights[gather]
+            w_parts.append(np.tile(tw, len(ql)))
+        if not flat_parts:
+            continue
+        flat = np.concatenate(flat_parts)
+        wts = np.concatenate(w_parts)
+        nbins = nq * span
+        S = np.bincount(flat, weights=wts, minlength=nbins).reshape(nq, span)
+        matched = np.bincount(flat, minlength=nbins).reshape(nq, span) > 0
+        S[~matched] = -np.inf
+
+        kk = min(k, span)
+        if kk < span:
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            kth = S[np.arange(nq)[:, None], part].min(axis=1)
+            # exact tie handling: keep every cell >= the k-th value
+            cand_mask = S >= kth[:, None]
+        else:
+            cand_mask = matched
+        rows_i, cols_i = np.nonzero(cand_mask)
+        sc = S[rows_i, cols_i]
+        keep = np.isfinite(sc)
+        rows_i, cols_i, sc = rows_i[keep], cols_i[keep], sc[keep]
+        out_parts.append(
+            _group_topk_df(
+                qids_all[c0:c1],
+                rows_i.astype(np.int64),
+                (cols_i + d_min).astype(np.int64),
+                sc,
+                k,
             )
-            out_parts.append(_group_topk_df(qids, fuq, fud, fscores, k))
+        )
     if not out_parts:
         return pd.DataFrame(_EMPTY_RESULT)
     return pd.concat(out_parts, ignore_index=True)

@@ -72,8 +72,7 @@ def quality_score(
     uniq = F.col("uniq_ratio")
     score = (0.4 * length_score + 0.3 * F.least(alpha_ratio, F.lit(1.0)) + 0.3 * uniq)
     return st.select(
-        "doc_id", "n_tokens", "uniq_ratio",
-        F.round(score, 6).alias("quality"),
+        "doc_id", "n_tokens", "uniq_ratio", score.alias("quality")
     )
 
 

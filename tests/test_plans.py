@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the optimizations the engine is designed
+around must be visible in `.explain()` output (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import similaripy_spark as sps
+from similaripy_spark.plans.explain import (
+    count_exchanges,
+    has_broadcast_join,
+    has_window_group_limit,
+    pushed_filters,
+    physical_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li_matrix(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("value"))
+        .select(
+            F.col("l_orderkey").alias("row"),
+            F.col("l_partkey").alias("col"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+def test_topk_uses_window_group_limit(spark, li_matrix):
+    """The deterministic top-k compiles to WindowGroupLimit — the
+    distributed equivalent of the reference's per-row heap (s_plus.h:39-64)."""
+    assert has_window_group_limit(sps.cosine(li_matrix, k=10))
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """A lang predicate on the documents scan must appear in PushedFilters
+    (Catalyst predicate pushdown — the relational analog of the reference's
+    eliminate_zeros-before-compute, s_plus.pyx:208-211)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("lang") == "en"
+    )
+    pf = pushed_filters(docs)
+    assert "lang" in pf, pf
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read all columns (ReadSchema)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    plan = physical_plan(docs)
+    assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_bm25_weights_uses_broadcasts(spark):
+    """Term stats and corpus scalars must ride in as broadcasts — the big
+    postings relation is never shuffled by the weighting pass."""
+    from similaripy_spark.fulltext.postings import build_postings
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.col("text")
+    )
+    w = bm25_weights(build_postings(pages))
+    assert has_broadcast_join(w)
+    # and the weighting pass introduces no hash-exchange of the postings
+    # beyond the two tiny aggregation sides
+    assert count_exchanges(w) <= 3, physical_plan(w)
+
+
+def test_s_plus_exchange_budget(spark, li_matrix):
+    """The s_plus plan's only big shuffle is the (row, col) aggregate; the
+    stats joins must not add full-relation exchanges beyond their own
+    aggregations. Budget pinned so accidental de-optimizations fail here."""
+    out = sps.cosine(li_matrix, k=10)
+    n = count_exchanges(out)
+    assert n <= 8, f"exchange count grew to {n}:\n{physical_plan(out)}"
+
+
+def test_selector_pushdown_into_join(spark, li_matrix):
+    """Array-form filter_cols must prune m2 BEFORE the join (reference
+    pre-filters in Python: s_plus_utils.pyx:424-490); visible as a Filter
+    above the scan side, not a post-aggregation filter."""
+    out = sps.dot_product(li_matrix, k=5, filter_cols=list(range(50)))
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan  # the anti-join of the selector
