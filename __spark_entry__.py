@@ -561,7 +561,7 @@ WITH post AS (
            h * 40503 + 7 AS b
     FROM range(8) t(h)),
   sig AS (
-    SELECT sh.doc_id, hashes.h, CAST(hashes.h / 2 AS INT) AS band,
+    SELECT sh.doc_id, hashes.h, CAST(hashes.h // 2 AS INT) AS band,
            MIN((hashes.a * sh.shingle_id + hashes.b) % 2038074743) AS minhash
     FROM sh CROSS JOIN hashes GROUP BY 1, 2, 3),
   band_sig AS (

@@ -39,8 +39,14 @@ def _mk_spark(cpus: int):
     )
 
 
-def fulltext_bench(cpus: int, n_docs: int, n_queries: int, vocab: int) -> dict:
-    """Build + query throughput at a given parallelism; fresh session."""
+def fulltext_bench(
+    cpus: int, n_docs: int, n_queries: int, vocab: int, repeats: int = 1
+) -> dict:
+    """Build + query throughput at a given parallelism; fresh session.
+    ``repeats``: run the timed sections N times and report the best —
+    single-box interference (page cache, GC, compaction of /tmp) adds tens
+    of percent of run-to-run noise, and best-of-N is the standard way to
+    measure capability rather than interference."""
     from similaripy_spark.fulltext.index_build import IndexBuilder, read_segments
     from similaripy_spark.fulltext.wand import segment_topk
     from similaripy_spark.sources.pages import (
@@ -57,17 +63,20 @@ def fulltext_bench(cpus: int, n_docs: int, n_queries: int, vocab: int) -> dict:
             pages = pages.persist()
             pages.count()
 
-            t0 = time.monotonic()
-            idx = os.path.join(d, "idx")
-            # shard layout is a property of the INDEX, not of the cluster
-            # size — identical at every parallelism level so the scaling
-            # comparison runs the same job on the same physical layout
-            IndexBuilder(
-                idx,
-                shard_size=max(n_docs // 64, 512),
-                n_groups=4,
-            ).build(pages)
-            build_s = time.monotonic() - t0
+            build_s = None
+            for r in range(repeats):
+                idx = os.path.join(d, f"idx{r}")
+                t0 = time.monotonic()
+                # shard layout is a property of the INDEX, not of the
+                # cluster size — identical at every parallelism level so the
+                # scaling comparison runs the same job on the same layout
+                IndexBuilder(
+                    idx,
+                    shard_size=max(n_docs // 64, 512),
+                    n_groups=4,
+                ).build(pages)
+                dt = time.monotonic() - t0
+                build_s = dt if build_s is None else min(build_s, dt)
 
             queries = spark.createDataFrame(
                 generate_queries_pandas(n_queries, vocab_size=vocab)
@@ -75,11 +84,15 @@ def fulltext_bench(cpus: int, n_docs: int, n_queries: int, vocab: int) -> dict:
             seg = read_segments(spark, idx).persist()
             seg.count()
             # one warm-up pass (python-worker spawn, codegen, page cache),
-            # then the measured pass — batch throughput is the steady state
+            # then the measured passes — batch throughput is steady state
             segment_topk(seg, queries, k=10).count()
-            t0 = time.monotonic()
-            n_out = segment_topk(seg, queries, k=10).count()
-            query_s = time.monotonic() - t0
+            query_s = None
+            n_out = 0
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                n_out = segment_topk(seg, queries, k=10).count()
+                dt = time.monotonic() - t0
+                query_s = dt if query_s is None else min(query_s, dt)
             return {
                 "cpus": cpus,
                 "n_docs": n_docs,
@@ -132,7 +145,8 @@ def main():
         n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
         n_queries = int(os.environ.get("BENCH_QUERIES", "10000"))
         vocab = int(os.environ.get("BENCH_VOCAB", "50000"))
-        print(json.dumps(fulltext_bench(cpus, n_docs, n_queries, vocab)))
+        repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+        print(json.dumps(fulltext_bench(cpus, n_docs, n_queries, vocab, repeats)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,8 +160,9 @@ def main():
     n_queries = int(os.environ.get("BENCH_QUERIES", "10000"))
     vocab = int(os.environ.get("BENCH_VOCAB", "50000"))
 
-    def run_level(level_cpus: int) -> dict:
+    def run_level(level_cpus: int, repeats: int = 1) -> dict:
         env = dict(os.environ)
+        env["BENCH_REPEATS"] = str(repeats)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
@@ -170,8 +185,9 @@ def main():
         # therefore 2→8 by default; override with BENCH_SCALE_LOW/HIGH.
         low = int(os.environ.get("BENCH_SCALE_LOW", "2"))
         high = int(os.environ.get("BENCH_SCALE_HIGH", "8"))
-        ft_low = run_level(low)
-        ft_high = fulltext if high == cpus else run_level(high)
+        reps = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
+        ft_low = run_level(low, repeats=reps)
+        ft_high = run_level(high, repeats=reps)
         factor = high / low
         scaling = {
             "low": ft_low,

@@ -414,3 +414,33 @@ def read_term_stats(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+
+
+def read_lineage(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Commit manifests as a queryable table
+    (stage, group, status, run_id, blocks, postings, bytes, wall_ms)."""
+    recs = IndexBuilder(index_dir).lineage()
+    return spark.createDataFrame(
+        recs,
+        "stage string, group int, status string, run_id string, "
+        "blocks long, postings long, bytes long, wall_ms long",
+    )
+
+
+def read_metrics(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Long-form metrics table (run_id, stage, metric, value) derived from
+    lineage + meta — the engine's ProgressBar analog (progress_bar.h:16),
+    queryable instead of printed."""
+    meta = read_meta(index_dir)
+    rows = []
+    for rec in IndexBuilder(index_dir).lineage():
+        for m in ("blocks", "postings", "bytes", "wall_ms"):
+            rows.append(
+                (rec["run_id"], f"{rec['stage']}/group_{rec['group']}", m,
+                 float(rec[m]))
+            )
+    for m in ("n_docs", "n_shards", "avgdl"):
+        rows.append((meta["run_id"], "corpus", m, float(meta[m])))
+    return spark.createDataFrame(
+        rows, "run_id string, stage string, metric string, value double"
+    )

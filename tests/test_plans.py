@@ -40,21 +40,25 @@ def test_topk_uses_window_group_limit(spark, li_matrix):
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
-    """A lang predicate on the documents scan must appear in PushedFilters
-    (Catalyst predicate pushdown — the relational analog of the reference's
-    eliminate_zeros-before-compute, s_plus.pyx:208-211)."""
-    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
-        F.col("lang") == "en"
+    """A predicate on a parquet scan must appear in PushedFilters (Catalyst
+    predicate pushdown — the relational analog of the reference's
+    eliminate_zeros-before-compute, s_plus.pyx:208-211). Uses a table no
+    other test caches: a cached relation becomes InMemoryTableScan and
+    hides the scan node."""
+    sup = spark.read.parquet(f"{SF}/supplier.parquet").filter(
+        F.col("s_nationkey") == 3
     )
-    pf = pushed_filters(docs)
-    assert "lang" in pf, pf
+    pf = pushed_filters(sup)
+    assert "s_nationkey" in pf, pf
 
 
 def test_column_pruning(spark):
     """A 2-column projection must not read all columns (ReadSchema)."""
-    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
-    plan = physical_plan(docs)
-    assert "text" not in plan.split("ReadSchema")[-1]
+    ords = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    plan = physical_plan(ords)
+    assert "o_totalprice" not in plan.split("ReadSchema")[-1]
 
 
 def test_bm25_weights_uses_broadcasts(spark):

@@ -1,0 +1,86 @@
+"""spark-submit entry point: build or query a BM25 index.
+
+Build:
+  spark-submit --py-files dist/similaripy_spark.zip tools/index_job.py \
+      build --pages /data/pages_parquet --index /data/index \
+      [--shard-size 1048576] [--groups 64] [--lang en]
+
+Query:
+  spark-submit ... tools/index_job.py \
+      query --index /data/index --queries /data/queries.parquet \
+      --out /data/results [--k 10]
+
+Resume is automatic: re-running `build` skips committed shard groups
+(lineage manifests). The script only parses args and calls the library —
+every run mode is the same code paths the tests pin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--shard-size", type=int, default=1 << 20)
+    b.add_argument("--groups", type=int, default=64)
+    b.add_argument("--lang", default=None)
+    b.add_argument("--no-resume", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--k", type=int, default=10)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--indexes", nargs="+", required=True)
+    m.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    spark = SparkSession.builder.appName(f"index_job_{args.cmd}").getOrCreate()
+
+    from similaripy_spark.fulltext.index_build import (
+        IndexBuilder,
+        read_meta,
+        read_segments,
+    )
+
+    if args.cmd == "build":
+        builder = IndexBuilder(
+            args.index,
+            shard_size=args.shard_size,
+            n_groups=args.groups,
+            lang=args.lang,
+        )
+        meta = builder.build(
+            spark.read.parquet(args.pages), resume=not args.no_resume
+        )
+        print(json.dumps({"built": args.index, **{k: meta[k] for k in ("n_docs", "n_shards", "avgdl")}}))
+    elif args.cmd == "query":
+        from similaripy_spark.fulltext.wand import segment_topk
+
+        queries = spark.read.parquet(args.queries)
+        out = segment_topk(read_segments(spark, args.index), queries, k=args.k)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"queried": args.index, "out": args.out}))
+    elif args.cmd == "merge":
+        from similaripy_spark.fulltext.index_merge import merge_indexes
+
+        meta = merge_indexes(spark, args.indexes, args.out)
+        print(json.dumps({"merged": args.indexes, "out": args.out,
+                          "n_docs": meta["n_docs"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
