@@ -952,6 +952,85 @@ GROUP BY 1, 2
 """
 
 
+def _q_pricing_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets family) with exact decimal sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+_SQL_PRICING_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the batch form of a
+    streaming session window: lag → gap marker → cumulative session id."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsl = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = tsl - F.lag(tsl, 1).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessed = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    tsl2 = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return sessed.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(tsl2).alias("session_start"),
+        F.max(tsl2).alias("session_end"),
+    )
+
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsl,
+         CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER w IS NULL
+                   OR CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  sessed AS (
+  SELECT user_id, tsl,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM marked)
+SELECT user_id, session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(tsl) AS session_start,
+       MAX(tsl) AS session_end
+FROM sessed GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1001,7 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_vote": _q_knn_vote,
         # relational breadth
         "pricing_summary": _q_pricing_summary,
+        "pricing_rollup": _q_pricing_rollup,
         "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
         "order_priority": _q_order_priority,
     }
     return q
@@ -1064,6 +1145,8 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "ann_cosine_topk": _SQL_ANN_COSINE,
         "knn_label_vote": _SQL_KNN_VOTE,
         "pricing_summary": _SQL_PRICING,
+        "pricing_rollup": _SQL_PRICING_ROLLUP,
         "events_window": _SQL_EVENTS_WINDOW,
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "order_priority": _SQL_ORDER_PRIORITY,
     }

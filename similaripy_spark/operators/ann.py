@@ -44,15 +44,85 @@ def ann_bruteforce_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = False,
+    method: str = "gemm",
 ) -> DataFrame:
-    """Exact cosine top-k neighbor lists (row, col=neighbor, value=cosine)."""
-    m = embeddings_to_matrix(emb, id_col, vec_col)
-    out = cosine(m, m.select(F.col("col").alias("row"), F.col("row").alias("col"),
-                             "value"), k=k + (0 if include_self else 1))
-    if not include_self:
-        out = out.filter(F.col("row") != F.col("col"))
-        out = top_k(out, k)
-    return out
+    """Exact cosine top-k neighbor lists (row, col=neighbor, value=cosine).
+
+    method='gemm': the index side is broadcast as a dense float64 matrix and
+    each Arrow batch of query vectors is scored with one BLAS GEMM +
+    argpartition — the dense-vector analog of a broadcast hash join. The
+    relational path (method='join') joins on the dimension key, which has
+    only `dim` distinct values → a skewed blow-up; keep it for tiny inputs
+    or as an oracle. At a scale where the index side cannot be broadcast,
+    use ``ann_lsh_topk`` (bucketed candidates) instead.
+    """
+    if method == "join":
+        m = embeddings_to_matrix(emb, id_col, vec_col)
+        out = cosine(
+            m,
+            m.select(
+                F.col("col").alias("row"), F.col("row").alias("col"), "value"
+            ),
+            k=k + (0 if include_self else 1),
+        )
+        if not include_self:
+            out = out.filter(F.col("row") != F.col("col"))
+            out = top_k(out, k)
+        return out
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pdf = emb.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(np.int64)
+    E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    norms = np.sqrt((E * E).sum(axis=1))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((ids, E, norms))
+
+    schema = T.StructType(
+        [
+            T.StructField("row", T.LongType(), False),
+            T.StructField("col", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        b_ids, b_E, b_norms = bc.value
+        order_by_id = np.argsort(b_ids)
+        for b in batches:
+            q_ids = b[id_col].to_numpy(np.int64)
+            Q = np.array(b[vec_col].tolist(), dtype=np.float64)
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            S = (Q @ b_E.T) / np.outer(qn, b_norms)
+            if not include_self:
+                # mask self-matches by id (positions found via searchsorted)
+                pos = np.searchsorted(b_ids[order_by_id], q_ids)
+                pos = np.clip(pos, 0, len(b_ids) - 1)
+                hit = b_ids[order_by_id][pos] == q_ids
+                S[np.arange(len(q_ids))[hit], order_by_id[pos[hit]]] = -np.inf
+            kk = min(k, S.shape[1])
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            kth = S[np.arange(len(q_ids))[:, None], part].min(axis=1)
+            # keep every cell >= the k-th value so boundary ties reach the
+            # deterministic relational top-k (value DESC, col ASC)
+            cand = S >= kth[:, None]
+            ri, ci = np.nonzero(cand)
+            vals = S[ri, ci]
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {
+                    "row": q_ids[ri[keep]],
+                    "col": b_ids[ci[keep]],
+                    "value": vals[keep],
+                }
+            )
+
+    out = emb.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    # exact tie semantics: re-rank the (k + boundary) candidates relationally
+    return top_k(out, k)
 
 
 def _plane_table(spark, n_tables: int, n_planes: int, dim: int) -> DataFrame:
