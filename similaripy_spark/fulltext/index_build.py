@@ -342,12 +342,18 @@ class IndexBuilder:
             if os.path.isdir(gtmp):
                 shutil.rmtree(gtmp)  # torn previous attempt
             seg.write.mode("overwrite").parquet(gtmp)
-            # stats scan prunes to the tiny `n` column; byte size comes from
-            # the filesystem, not a decode of the binary columns
-            stats = spark.read.parquet(gtmp).agg(
-                F.count("*").alias("blocks"),
-                F.sum("n").alias("postings"),
-            ).first()
+            # group stats from parquet footers + one tiny column read,
+            # driver-side — a Spark job here costs ~1 s of scheduling per
+            # group, which is pure serial overhead at every cluster size
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(gtmp, format="parquet")
+            blocks = ds.count_rows()
+            postings = 0
+            for batch in ds.to_batches(columns=["n"]):
+                postings += int(
+                    np.asarray(batch.column("n")).sum()
+                ) if batch.num_rows else 0
             disk_bytes = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(gtmp)
@@ -361,8 +367,8 @@ class IndexBuilder:
                 "group": g,
                 "status": "done",
                 "run_id": run_id,
-                "blocks": stats["blocks"],
-                "postings": int(stats["postings"] or 0),
+                "blocks": int(blocks),
+                "postings": int(postings),
                 "bytes": int(disk_bytes),
                 "wall_ms": int((time.monotonic() - t0) * 1000),
             }

@@ -1,28 +1,37 @@
-"""Segment-based BM25 top-k with Block-Max MaxScore pruning.
+"""Segment-based BM25 top-k: the engine's custom physical strategy (playing
+the role s_plus.h plays in the reference).
 
-Physical strategy (the engine's one custom dataflow kernel, playing the role
-s_plus.h plays in the reference):
+Distributed shape:
 
 * **Doc-shard scatter**: queries (tiny) are replicated to every shard of the
   doc-sharded index; a cogrouped ``applyInPandas`` scores ALL queries of a
-  shard against that shard's posting blocks in one Arrow pass. Decoded blocks
-  are memoized across queries within the shard — hot-term decode cost is paid
-  once per shard, not once per query.
+  shard against that shard's posting blocks in one Arrow pass.
 * **Local top-k, global merge**: each shard emits its local top-k per query
   (global top-k ⊆ union of shard top-k); a windowed top-k merges them.
-* **Block-Max MaxScore** (Turtle & Flood 1995; block-max variant after Ding &
-  Suel, SIGIR 2011): per query, terms are processed in descending
-  max-weight order. Once the running k-th-best lower bound θ exceeds the
-  best possible score of any unseen doc (block max_score + suffix of term
-  maxima), whole blocks of hot terms are skipped for *new* candidates and
-  only probed (binary search) for already-found candidates. BM25 idf is
-  unclamped (reference semantics) so weights can be NEGATIVE; bounds use
-  positive-part maxima and negative-part minima to stay exact — parity with
-  the exhaustive path is tested, not assumed.
 
-Scoring accumulates float32 stored weights in float64, matching the SQL
-path within 1e-6 relative (tests pin rtol 1e-4, the reference's own
-tolerance: tests/test_similarity.py:293-294).
+Three exact scorers, chosen by workload:
+
+* ``_score_batch`` (default for batches): a dense sparse-accumulator — the
+  distributed twin of the reference's SPA (s_plus.h:71-240) — scatter-adds
+  every (query, term)'s posting weights into a (chunk × shard-span) grid via
+  one ``np.bincount``. The chunk is sized so all concurrent workers' grids
+  stay L3-resident: the same kernel with a 25 MB grid is DRAM-bound and
+  stops scaling past ~8 cores (measured; see BENCH/BASELINE.md).
+* ``_score_maxscore`` (point queries / term-major path): Block-Max MaxScore
+  (Turtle & Flood 1995; block-max variant after Ding & Suel, SIGIR 2011) —
+  terms in descending max-weight order; once the k-th-best lower bound θ
+  exceeds any unseen doc's best possible score (block max_score + suffix of
+  term maxima), hot-term blocks are skipped for new candidates and only
+  probed by binary search for existing ones. BM25 idf is unclamped
+  (reference semantics) so weights can be NEGATIVE; bounds use positive-part
+  maxima and negative-part minima to stay exact.
+* ``_score_exhaustive``: the oracle-grade union-accumulate.
+
+All three are rank-identical (randomized adversarial parity tests, hot-term
+and negative-weight regimes included). Scoring accumulates float32 stored
+weights in float64, matching the relational SQL path within 1e-6 relative
+(tests pin rtol 1e-4, the reference's own tolerance:
+tests/test_similarity.py:293-294).
 """
 
 from __future__ import annotations
@@ -313,7 +322,7 @@ _EMPTY_RESULT = {
 
 
 def _score_batch(
-    idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int = 256
+    idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int | None = None
 ) -> pd.DataFrame:
     """Dense-accumulator batch scorer — the distributed twin of the
     reference's SPA (s_plus.h:71-240), vectorized across a whole query
@@ -341,6 +350,10 @@ def _score_batch(
     d_min = int(docs.min())
     span = int(docs.max()) - d_min + 1
     local = docs - d_min
+    if chunk is None:
+        # size the dense grid to stay L3-resident under full-core
+        # concurrency (~3 MB per worker); DRAM-bound scatter stops scaling
+        chunk = int(min(2048, max(64, 3_000_000 // (span * 8))))
 
     n_q = len(q_pdf)
     # per-term query lists, sorted once; per-chunk slices via searchsorted
@@ -407,6 +420,7 @@ def segment_topk(
     k: int = 10,
     prune: bool = True,
     batch: bool | None = None,
+    shard_ids=None,
 ) -> DataFrame:
     """queries(query_id, terms) × doc-sharded segments → global top-k
     (query_id, doc_id, score, rank).
@@ -421,12 +435,14 @@ def segment_topk(
     if batch is None:
         batch = True
     spark = segments.sparkSession
-    # distinct shard ids are tiny (n_docs / shard_size); collecting breaks the
-    # self-join lineage between the cogroup sides
-    shard_ids = [
-        r["shard"] for r in segments.select("shard").distinct().collect()
-    ]
-    shards = spark.createDataFrame([(s,) for s in shard_ids], "shard int")
+    if shard_ids is None:
+        # distinct shard ids are tiny (n_docs / shard_size); collecting
+        # breaks the self-join lineage between the cogroup sides. Pass
+        # shard_ids (e.g. range(meta['n_shards'])) to skip this job.
+        shard_ids = [
+            r["shard"] for r in segments.select("shard").distinct().collect()
+        ]
+    shards = spark.createDataFrame([(int(s),) for s in shard_ids], "shard int")
     qx = queries.select("query_id", "terms").crossJoin(F.broadcast(shards))
 
     def score_shard(seg_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -128,6 +128,21 @@ def test_segment_query_matches_sql_path(spark, built, mode):
     np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
 
 
+def test_segment_topk_shard_ids_param(spark, built):
+    """Passing the known shard list (range(n_shards)) must match the
+    discovered-shards default — the param only skips a driver job."""
+    d, meta, pages = built
+    queries = spark.createDataFrame(generate_queries_pandas(10, vocab_size=VOCAB))
+    seg = read_segments(spark, d)
+    a = segment_topk(seg, queries, k=10).orderBy("query_id", "rank").collect()
+    b = (
+        segment_topk(seg, queries, k=10, shard_ids=range(meta["n_shards"]))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert a == b
+
+
 def test_resume_after_injected_failure(spark, tmp_path):
     d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
     pages = generate_pages(spark, 600, vocab_size=800)
