@@ -441,17 +441,19 @@ WITH post AS (
   shingles AS (
     SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
     FROM led WHERE t2 IS NOT NULL),
-  ids AS (
-    SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS shingle_id
-    FROM (SELECT DISTINCT shingle FROM shingles)),
-  sh AS (SELECT s.doc_id, i.shingle_id FROM shingles s JOIN ids i ON s.shingle = i.shingle),
+  sh AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS x1,
+           CAST(('0x' || substr(md5(shingle), 9, 7)) AS BIGINT) AS x2
+    FROM shingles),
   hashes AS (
     SELECT CAST(h AS BIGINT) AS h,
            ((h * 2 + 1) * 2654435761) % 2038074743 AS a,
-           h * 40503 + 7 AS b
+           h * 40503 + 7 AS b,
+           ((h * 2 + 2) * 2654435761) % 2038074743 AS c
     FROM range(8) t(h))
 SELECT sh.doc_id, hashes.h,
-       CAST(MIN((hashes.a * sh.shingle_id + hashes.b) % 2038074743) AS BIGINT) AS minhash
+       CAST(MIN((hashes.a * sh.x1 + hashes.c * sh.x2 + hashes.b) % 2038074743) AS BIGINT) AS minhash
 FROM sh CROSS JOIN hashes
 GROUP BY 1, 2
 """
@@ -472,12 +474,13 @@ WITH toks AS (
       FROM documents) t
     WHERE t.term <> ''),
   tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
-  ids AS (SELECT term, CAST(DENSE_RANK() OVER (ORDER BY term) AS BIGINT) AS term_id
-          FROM (SELECT DISTINCT term FROM tf)),
-  tfi AS (SELECT tf.doc_id, tf.tf, ids.term_id FROM tf JOIN ids ON tf.term = ids.term),
+  tfi AS (SELECT doc_id, tf,
+                 CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS x1,
+                 CAST(('0x' || substr(md5(term), 9, 7)) AS BIGINT) AS x2
+          FROM tf),
   bits AS (SELECT CAST(b AS BIGINT) AS bit FROM range(48) t(b)),
-  x0 AS (SELECT doc_id, tf, term_id, bit,
-               (term_id * 48271 + (bit + 1) * 16807) % 2147483647 AS x
+  x0 AS (SELECT doc_id, tf, bit,
+               (x1 * 48271 + x2 * 16807 + (bit + 1) * 97) % 2147483647 AS x
         FROM tfi CROSS JOIN bits),
   x1 AS (SELECT doc_id, tf, bit, (xor(x, x >> 7) * 48271) % 2147483647 AS x FROM x0),
   x2 AS (SELECT doc_id, tf, bit, (xor(x, x >> 11) * 16807) % 2147483647 AS x FROM x1),
@@ -551,18 +554,20 @@ WITH post AS (
   shingles AS (
     SELECT DISTINCT doc_id, term || ' ' || t1 || ' ' || t2 AS shingle
     FROM led WHERE t2 IS NOT NULL),
-  ids AS (
-    SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS shingle_id
-    FROM (SELECT DISTINCT shingle FROM shingles)),
-  sh AS (SELECT s.doc_id, i.shingle_id FROM shingles s JOIN ids i ON s.shingle = i.shingle),
+  sh AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS x1,
+           CAST(('0x' || substr(md5(shingle), 9, 7)) AS BIGINT) AS x2
+    FROM shingles),
   hashes AS (
     SELECT CAST(h AS BIGINT) AS h,
            ((h * 2 + 1) * 2654435761) % 2038074743 AS a,
-           h * 40503 + 7 AS b
+           h * 40503 + 7 AS b,
+           ((h * 2 + 2) * 2654435761) % 2038074743 AS c
     FROM range(8) t(h)),
   sig AS (
     SELECT sh.doc_id, hashes.h, CAST(hashes.h // 2 AS INT) AS band,
-           MIN((hashes.a * sh.shingle_id + hashes.b) % 2038074743) AS minhash
+           MIN((hashes.a * sh.x1 + hashes.c * sh.x2 + hashes.b) % 2038074743) AS minhash
     FROM sh CROSS JOIN hashes GROUP BY 1, 2, 3),
   band_sig AS (
     SELECT doc_id, band,
@@ -713,10 +718,9 @@ WITH post AS (
              generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS pos
       FROM documents) t
     WHERE t.term <> ''),
-  ids AS (SELECT term, CAST(DENSE_RANK() OVER (ORDER BY term) AS BIGINT) AS term_id
-          FROM (SELECT DISTINCT term FROM post)),
-  p AS (SELECT post.doc_id, post.pos, ids.term_id
-        FROM post JOIN ids ON post.term = ids.term),
+  p AS (SELECT doc_id, pos,
+               CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS term_id
+        FROM post),
   kg AS (
     SELECT doc_id, pos,
       ((((((term_id % 2038074743) * 40503

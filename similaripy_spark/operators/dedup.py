@@ -13,10 +13,13 @@ twin and scales through Catalyst/AQE:
 
 Scale notes: the shingle self-join is the quadratic danger zone — LSH
 (banding) is the scale path and the exact Jaccard join is the verifier run
-on LSH candidates only (``verify=True``). Hash functions are explicit
-integer polynomials over *dictionary-encoded* shingle/term ids
-(``dense_rank`` over the distinct set) so results are engine-independent —
-no reliance on any engine's builtin hash().
+on LSH candidates only (pass ``candidates``, which prunes the join input
+*before* the intersection aggregate). Hash functions are explicit integer
+polynomials over md5-derived shingle/term ids, so results are
+engine-independent (the identical expression runs in ANSI SQL) and the id
+assignment is a pure per-row projection — no global window, no shuffle, no
+driver state. A 56-bit id pair (two md5 substrings) feeds each hash so the
+effective universe stays far above the 31-bit modulus.
 """
 
 from __future__ import annotations
@@ -33,11 +36,31 @@ _PRIME = 2038074743  # < 2^31, keeps a*x+b inside int64
 _M31 = 2147483647  # Mersenne prime 2^31-1 (MINSTD modulus)
 
 
-def _mix_bit(term_id, bit):
-    """Pseudo-random bit g(term_id, bit) via MINSTD steps interleaved with
-    xor-shifts (pure int64 arithmetic — identical in any SQL engine; plain
-    modular multiplication alone is too linear and collapses patterns)."""
-    x = (term_id * 48271 + (bit + 1) * 16807) % _M31
+def _hash_pair(col):
+    """(x1, x2): two independent 28-bit integer ids from md5 of a string.
+
+    Pure projection (no shuffle) and engine-independent: the ANSI-SQL twin is
+    ``CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)`` etc. Two 28-bit halves
+    give a 56-bit effective universe while keeping every downstream
+    ``a*x1 + c*x2 + b`` polynomial inside int64 (a, c < 2^31 ⇒ products
+    < 2^59 each)."""
+    x1 = F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+    x2 = F.conv(F.substring(F.md5(col), 9, 7), 16, 10).cast("long")
+    return x1, x2
+
+
+def _hash60(col):
+    """60-bit integer id from md5 (ANSI twin:
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``); always positive."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _mix_bit(x1, x2, bit):
+    """Pseudo-random bit g(term, bit) via MINSTD steps interleaved with
+    xor-shifts over the (x1, x2) md5 id pair (pure int64 arithmetic —
+    identical in any SQL engine; plain modular multiplication alone is too
+    linear and collapses patterns)."""
+    x = (x1 * 48271 + x2 * 16807 + (bit + 1) * 97) % _M31
     x = (x.bitwiseXOR(F.shiftright(x, 7)) * 48271) % _M31
     x = (x.bitwiseXOR(F.shiftright(x, 11)) * 16807) % _M31
     return x.bitwiseXOR(F.shiftright(x, 5)) % 2
@@ -78,17 +101,10 @@ def word_shingles(
 
 
 def _shingle_ids(shingles: DataFrame) -> DataFrame:
-    """Dictionary-encode shingles deterministically: dense_rank over the
-    sorted distinct shingle set (engine-independent)."""
-    ids = (
-        shingles.select("shingle")
-        .distinct()
-        .withColumn(
-            "shingle_id",
-            F.dense_rank().over(Window.orderBy("shingle")).cast("long"),
-        )
-    )
-    return shingles.join(ids, "shingle").select("doc_id", "shingle_id")
+    """Encode shingles as a deterministic md5-derived (x1, x2) id pair —
+    a pure projection: no global window, no dictionary join, no shuffle."""
+    x1, x2 = _hash_pair(F.col("shingle"))
+    return shingles.select("doc_id", x1.alias("x1"), x2.alias("x2"))
 
 
 def ngram_jaccard_pairs(
@@ -110,14 +126,24 @@ def ngram_jaccard_pairs(
 
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # Verification mode: drive the intersection FROM the candidate pairs
+        # so cost is linear in Σ_pairs |shingles(doc_a)| — the all-pairs
+        # shingle self-join never materializes.
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"], "left_semi")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
     return (
@@ -139,21 +165,24 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """→ (doc_id, h, minhash): h-th MinHash of the doc's shingle-id set with
-    h_i(x) = (a_i·x + b_i) mod P, a_i/b_i fixed integer polynomials of i."""
+    """→ (doc_id, h, minhash): h-th MinHash of the doc's shingle set with
+    h_i(x1, x2) = (a_i·x1 + c_i·x2 + b_i) mod P over the md5 id pair —
+    a_i/b_i/c_i fixed integer polynomials of i, everything inside int64."""
     spark = docs.sparkSession
     sh = _shingle_ids(word_shingles(docs, n, text_col, id_col))
     hashes = spark.range(n_hashes).select(
         F.col("id").cast("int").alias("h"),
         ((F.col("id") * 2 + 1) * _HA % _PRIME).alias("a"),
         (F.col("id") * _HB + 7).alias("b"),
+        ((F.col("id") * 2 + 2) * _HA % _PRIME).alias("c"),
     )
     return (
         sh.crossJoin(F.broadcast(hashes))
         .groupBy("doc_id", "h")
         .agg(
             F.min(
-                (F.col("a") * F.col("shingle_id") + F.col("b")) % _PRIME
+                (F.col("a") * F.col("x1") + F.col("c") * F.col("x2") + F.col("b"))
+                % _PRIME
             ).alias("minhash")
         )
     )
@@ -207,25 +236,20 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """→ (doc_id, simhash): tf-weighted SimHash over dictionary-encoded
-    term ids; bit j set iff Σ_terms tf·(g(term,j) ? +1 : −1) > 0 with
-    g = the xor-shift/MINSTD mix in ``_mix_bit`` — engine-independent."""
+    """→ (doc_id, simhash): tf-weighted SimHash over md5-derived term ids
+    (pure projection — no dictionary window/join); bit j set iff
+    Σ_terms tf·(g(term,j) ? +1 : −1) > 0 with g = the xor-shift/MINSTD mix
+    in ``_mix_bit`` — engine-independent."""
     spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_expr(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    ids = (
-        tf.select("term")
-        .distinct()
-        .withColumn(
-            "term_id", F.dense_rank().over(Window.orderBy("term")).cast("long")
-        )
-    )
-    tf = tf.join(ids, "term")
+    x1, x2 = _hash_pair(F.col("term"))
+    tf = tf.select("doc_id", "tf", x1.alias("x1"), x2.alias("x2"))
     bit_tbl = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
-    g = _mix_bit(F.col("term_id"), F.col("bit"))
+    g = _mix_bit(F.col("x1"), F.col("x2"), F.col("bit"))
     signed = F.when(g == 1, F.col("tf")).otherwise(-F.col("tf"))
     per_bit = (
         tf.crossJoin(F.broadcast(bit_tbl))
@@ -247,26 +271,32 @@ def simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming ≤ max_hamming) via bit_count(a XOR b).
-    Prefilter: pairs must share at least one of 4 hash quadrants (pigeonhole:
-    hamming ≤ 3 ⇒ some 16-bit quadrant is identical) — the standard
-    SimHash block-permutation trick, keeping the join linear-ish."""
+    Prefilter: the hash is split into ``max_hamming + 1`` contiguous blocks;
+    pairs must share at least one block (pigeonhole: ≤ max_hamming differing
+    bits across max_hamming+1 blocks ⇒ some block is identical) — the
+    standard SimHash block-permutation trick, keeping the join linear-ish.
+    The block count is derived from max_hamming so the prefilter is sound
+    for ANY max_hamming < bits (the fixed-4-quadrant variant silently loses
+    pairs for max_hamming ≥ 4)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_blocks} blocks > bits={bits}"
+        )
     sh = simhash(docs, bits, 1, text_col, id_col)
+    base, rem = divmod(bits, n_blocks)
+    block_exprs, off = [], 0
+    for q in range(n_blocks):
+        width = base + (1 if q < rem else 0)
+        v = F.shiftrightunsigned(F.col("simhash"), off)
+        if width < 63:
+            v = v.bitwiseAND(F.lit((1 << width) - 1))
+        block_exprs.append(F.struct(F.lit(q).alias("q"), v.alias("qv")))
+        off += width
     quads = sh.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * q)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("qv"),
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("quad"),
+        F.explode(F.array(*block_exprs)).alias("quad"),
     ).select("doc_id", "simhash", F.col("quad.q"), F.col("quad.qv"))
     a = quads.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "q", "qv"

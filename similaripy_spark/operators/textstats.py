@@ -109,18 +109,20 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al., SIGMOD 2003, simplified):
-    polynomial rolling hash over token-id k-grams, keep the distinct
-    window-minimum hashes per doc → (doc_id, fingerprint)."""
+    polynomial rolling hash over md5-derived 60-bit token ids (a pure
+    projection — no dictionary window/join, no shuffle for id assignment),
+    keep the distinct window-minimum hashes per doc → (doc_id, fingerprint).
+    The ANSI twin of the id is CAST('0x' || substr(md5(term),1,15) AS BIGINT);
+    the rolling polynomial reduces mod P first so every intermediate stays
+    inside int64 (h < 2^31, h·B < 2^47, + id < 2^60)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize_expr(F.col(text_col))).alias("pos", "term"),
     )
-    ids = (
-        toks.select("term")
-        .distinct()
-        .withColumn("term_id", F.dense_rank().over(Window.orderBy("term")).cast("long"))
+    toks = toks.withColumn(
+        "term_id",
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
     )
-    toks = toks.join(ids, "term")
     w = Window.partitionBy("doc_id").orderBy("pos")
     # polynomial hash of the k-gram of term ids (base B mod P)
     h = F.col("term_id") % _PRIME

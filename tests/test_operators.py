@@ -72,6 +72,24 @@ def test_ngram_jaccard_pairs(spark, dup_docs):
         np.testing.assert_allclose(j, len(s1 & s2) / len(s1 | s2), rtol=1e-9)
 
 
+def test_ngram_jaccard_candidates_mode_matches_full(spark, dup_docs):
+    """The candidate-driven verifier path returns exactly the unrestricted
+    result restricted to the candidate pairs."""
+    full = dedup.ngram_jaccard_pairs(dup_docs, n=3, threshold=0.3).toPandas()
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in full.itertuples()}
+    cand = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in want] + [(0, 99999)],  # + a non-pair
+        "doc_a long, doc_b long",
+    )
+    out = dedup.ngram_jaccard_pairs(
+        dup_docs, n=3, threshold=0.3, candidates=cand
+    ).toPandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+    assert got.keys() == want.keys()
+    for pair, j in want.items():
+        np.testing.assert_allclose(got[pair], j, rtol=1e-12)
+
+
 def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
     pairs = dedup.minhash_lsh_pairs(dup_docs, n_hashes=32, bands=8).toPandas()
     got = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}

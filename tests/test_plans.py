@@ -86,6 +86,43 @@ def test_s_plus_exchange_budget(spark, li_matrix):
     assert n <= 8, f"exchange count grew to {n}:\n{physical_plan(out)}"
 
 
+def test_no_single_partition_exchange_in_hash_encodings(spark):
+    """minhash/simhash/winnowing id assignment is a pure md5 projection —
+    the plan must contain NO single-partition exchange. (The round-1
+    dense_rank dictionary encoding compiled to `Exchange SinglePartition`
+    + `Window`, moving the whole distinct term/shingle set through one
+    task — the WindowExec warnings in BENCH_r01.json.)"""
+    from similaripy_spark.operators import dedup, textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        dedup.minhash_signatures(docs, 8),
+        dedup.minhash_lsh_pairs(docs, 8, 4),
+        dedup.simhash(docs, bits=48),
+        textstats.winnow_fingerprints(docs),
+    ):
+        plan = physical_plan(df)
+        assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_jaccard_candidates_prune_before_aggregate(spark):
+    """With LSH candidates supplied, the exact-Jaccard verifier must drive
+    the intersection FROM the candidate pairs (semi-join under the groupBy)
+    instead of materializing the quadratic shingle self-join."""
+    from similaripy_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.0, candidates=cand)
+    plan = physical_plan(out)
+    # the doc_b/shingle restriction is a semi-join, and the quadratic
+    # all-pairs predicate (doc_a < doc_b over the full self-join) is absent
+    import re as _re
+
+    assert "LeftSemi" in plan, plan
+    assert not _re.search(r"doc_a#\d+L? < doc_b#", plan), plan
+
+
 def test_selector_pushdown_into_join(spark, li_matrix):
     """Array-form filter_cols must prune m2 BEFORE the join (reference
     pre-filters in Python: s_plus_utils.pyx:424-490); visible as a Filter
