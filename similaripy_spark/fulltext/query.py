@@ -40,20 +40,43 @@ def bm25_topk(
     """queries(query_id, terms array<string>) × postings(doc_id, term, weight)
     → (query_id, doc_id, score, rank), rank 1..k by (score DESC, doc_id ASC).
 
-    query_weighted=True multiplies by a per-term query weight column ``qw``
-    (queries exploded form must then carry it) — the general dot_product
-    composition; default is the binarized query vector of the README example.
+    query_weighted=True is the general dot_product composition: queries must
+    then carry a ``weights`` array<double> parallel to ``terms``, and the
+    score is Σ qw·weight — duplicate terms are NOT deduplicated (their qw
+    contributions add, exactly as repeated query-vector mass would in the
+    reference's ``dot_product(q, W.T)``). Default is the binarized query
+    vector of the README example (distinct terms, qw=1).
     """
-    qterms = queries.select(
-        "query_id", F.explode("terms").alias("term")
-    ).distinct()
-
-    scores = (
-        F.broadcast(qterms)
-        .join(weighted_postings, "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("weight").alias("score"))
-    )
+    if query_weighted:
+        if "weights" not in queries.columns:
+            raise ValueError(
+                "query_weighted=True requires a `weights` array column "
+                "parallel to `terms`"
+            )
+        qterms = queries.select(
+            "query_id",
+            F.explode(F.arrays_zip("terms", "weights")).alias("tw"),
+        ).select(
+            "query_id",
+            F.col("tw.terms").alias("term"),
+            F.col("tw.weights").cast("double").alias("qw"),
+        )
+        scores = (
+            F.broadcast(qterms)
+            .join(weighted_postings, "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("qw") * F.col("weight")).alias("score"))
+        )
+    else:
+        qterms = queries.select(
+            "query_id", F.explode("terms").alias("term")
+        ).distinct()
+        scores = (
+            F.broadcast(qterms)
+            .join(weighted_postings, "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("weight").alias("score"))
+        )
     if threshold is not None:
         scores = scores.filter(
             (F.col("score") >= threshold) & (F.col("score") != 0.0)

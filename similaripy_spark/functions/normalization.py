@@ -12,10 +12,12 @@ Reproduces the semantics of the reference's Cython kernels
 * ``bm25plus``   — BM25+ (Lv & Zhai) (normalization.pyx:260-334)
 
 Everything is built-in ``pyspark.sql.functions`` — no UDFs — so the whole
-weighting pass stays inside whole-stage codegen. Per-group statistics use
-window aggregates (one shuffle per grouping key); global scalars (N, avgdl)
-ride in via a broadcast cross-join of a 1-row aggregate, keeping the plan
-fully lazy.
+weighting pass stays inside whole-stage codegen. Per-group statistics are
+``groupBy`` aggregates joined back to the cells (map-side partial combine +
+AQE-convertible, skew-splittable joins — a window partitioned by the term
+key would put a stopword's whole posting list in one task); global scalars
+(N, avgdl) ride in via a broadcast cross-join of a 1-row aggregate, keeping
+the plan fully lazy.
 
 Semantics preserved exactly (see tests/oracle_numpy.py for the literal
 transcription used as the test oracle):
@@ -35,7 +37,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TF_MODES = ("binary", "raw", "sqrt", "freq", "log")
@@ -58,9 +60,10 @@ def tf_expr(freq: Column, doc_len: Column, mode: str, logbase: float) -> Column:
 
 
 def idf_expr(df_count: Column, n_docs: Column, mode: str, logbase: float) -> Column:
-    """IDF dispatch (normalization.pyx:72-94). df_count > 0 is guaranteed in
-    long form (a term with no postings has no rows), matching the kernel's
-    ``idf_[i] != 0`` guard (normalization.pyx:317-319)."""
+    """IDF dispatch (normalization.pyx:72-94). Callers must guard df_count=0
+    (possible when every stored value of a term is <= 0): the kernel's
+    ``idf_[i] != 0`` check (normalization.pyx:317-319) leaves idf at 0 there,
+    so weights become 0 instead of NULL/inf — see ``_guarded_idf``."""
     log_logbase = math.log(logbase)
     if mode == "unary":
         return F.lit(1.0)
@@ -90,40 +93,52 @@ def normalize(m: DataFrame, norm: str = "l2", axis: int = 1) -> DataFrame:
     """l1/l2/max scaling (normalization.pyx:97-197).
 
     Groups with zero (l1/l2) or non-positive (max) norms are left unscaled,
-    matching the kernels' skip rules.
+    matching the kernels' skip rules. The per-group norm is a ``groupBy``
+    aggregate joined back (map-side combine + AQE skew handling), not a
+    window — for axis=0 a hot column would otherwise occupy one task.
     """
     key, _ = _axis_cols(axis)
-    w = Window.partitionBy(key)
     v = F.col("value")
     if norm == "l1":
-        denom = F.sum(F.abs(v)).over(w)
-        guard = denom != 0.0
+        agg = F.sum(F.abs(v))
     elif norm == "l2":
-        denom = F.sqrt(F.sum(v * v).over(w))
-        guard = denom != 0.0
+        agg = F.sqrt(F.sum(v * v))
     elif norm == "max":
-        denom = F.max(v).over(w)
-        guard = denom > 0.0
+        agg = F.max(v)
     else:
         raise ValueError(f"norm must be l1|l2|max, got {norm!r}")
-    scaled = F.when(guard, v / denom).otherwise(v)
-    return m.withColumn("value", scaled)
+    norms = m.groupBy(key).agg(agg.alias("_norm"))
+    if norm == "max":
+        guard = F.col("_norm") > 0.0
+    else:
+        guard = F.col("_norm") != 0.0
+    scaled = F.when(guard, v / F.col("_norm")).otherwise(v)
+    return m.join(norms, key).withColumn("value", scaled).select(*m.columns)
 
 
 def _with_doc_term_stats(m: DataFrame, axis: int, n_rows: int | None):
     """Attach per-doc (doc_len) and per-term (df) stats plus global scalars
-    (n_docs, avgdl) to every cell. Two window shuffles + one broadcast."""
+    (n_docs, avgdl) to every cell.
+
+    Stats are ``groupBy`` aggregates joined back (partial/map-side combine +
+    AQE-convertible joins), NOT window aggregates: a window partitioned by
+    the term key puts a stopword's entire posting list in one task and is
+    excluded from AQE skew splitting — the aggregate+join shape (the same
+    one the fulltext path uses, fulltext/weights.py) gets both map-side
+    combine and runtime skew handling. The term-stats join is left unhinted
+    so AQE broadcast-converts it when the vocabulary is small and falls back
+    to a shuffle join when it isn't (web-scale vocabularies don't fit in a
+    broadcast)."""
     doc_key, term_key = _axis_cols(axis)
-    w_doc = Window.partitionBy(doc_key)
-    w_term = Window.partitionBy(term_key)
     v = F.col("value")
 
-    cells = (
-        m.withColumn("_dl", F.sum(v).over(w_doc))  # normalization.pyx:311-312
-        .withColumn(
-            "_df",
-            F.sum(F.when(v > 0, F.lit(1)).otherwise(F.lit(0))).over(w_term),
-        )  # normalization.pyx:313-314: strictly positive entries only
+    doc_stats = m.groupBy(doc_key).agg(
+        F.sum(v).alias("_dl")  # normalization.pyx:311-312: sum of values
+    )
+    term_stats = (
+        m.filter(v > 0)  # normalization.pyx:313-314: strictly positive only
+        .groupBy(term_key)
+        .agg(F.count("*").alias("_df"))
     )
 
     # Global scalars: total value mass and doc count. The reference divides by
@@ -133,14 +148,27 @@ def _with_doc_term_stats(m: DataFrame, axis: int, n_rows: int | None):
             "_n_docs", F.lit(float(n_rows))
         )
     else:
-        totals = m.agg(
-            F.sum("value").alias("_total_mass"),
-            F.countDistinct(doc_key).cast("double").alias("_n_docs"),
+        totals = doc_stats.agg(
+            F.sum("_dl").alias("_total_mass"),
+            F.count("*").cast("double").alias("_n_docs"),
         )
-    cells = cells.crossJoin(F.broadcast(totals)).withColumn(
-        "_avgdl", F.col("_total_mass") / F.col("_n_docs")
+    cells = (
+        m.join(doc_stats, doc_key)
+        # left join + coalesce: a term whose values are all <= 0 has no
+        # term_stats row; the kernel keeps df=0 for it (normalization.pyx:313)
+        .join(term_stats, term_key, "left")
+        .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("_avgdl", F.col("_total_mass") / F.col("_n_docs"))
     )
     return cells
+
+
+def _guarded_idf(idf_: Column) -> Column:
+    """Reproduce the kernel's df=0 short-circuit (normalization.pyx:317-319):
+    terms with no strictly-positive entry keep idf=0 (⇒ weight 0), instead
+    of NULL/±inf from log(N/0)."""
+    return F.when(F.col("_df") > 0, idf_).otherwise(F.lit(0.0))
 
 
 _STAT_COLS = ("_dl", "_df", "_total_mass", "_n_docs", "_avgdl")
@@ -158,7 +186,7 @@ def tfidf(
     normalization.py:190-218)."""
     cells = _with_doc_term_stats(m, axis, n_rows)
     tf_ = tf_expr(F.col("value"), F.col("_dl"), tf_mode, logbase)
-    idf_ = idf_expr(F.col("_df"), F.col("_n_docs"), idf_mode, logbase)
+    idf_ = _guarded_idf(idf_expr(F.col("_df"), F.col("_n_docs"), idf_mode, logbase))
     return cells.withColumn("value", tf_ * idf_).drop(*_STAT_COLS)
 
 
@@ -179,7 +207,7 @@ def bm25plus(
     """
     cells = _with_doc_term_stats(m, axis, n_rows)
     tf_ = tf_expr(F.col("value"), F.col("_dl"), tf_mode, logbase)
-    idf_ = idf_expr(F.col("_df"), F.col("_n_docs"), idf_mode, logbase)
+    idf_ = _guarded_idf(idf_expr(F.col("_df"), F.col("_n_docs"), idf_mode, logbase))
     norm_dl = (1.0 - b) + b * F.col("_dl") / F.col("_avgdl")  # pyx:326-327
     weight = idf_ * (tf_ * (k1 + 1.0) / (tf_ + k1 * norm_dl) + delta)
     return cells.withColumn("value", weight).drop(*_STAT_COLS)

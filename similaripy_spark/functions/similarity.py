@@ -71,8 +71,8 @@ def s_plus(
     m1: DataFrame,
     m2: Optional[DataFrame] = None,
     *,
-    l1: float = 0.0,
-    l2: float = 0.0,
+    l1: float = 0.5,
+    l2: float = 0.5,
     l3: float = 0.0,
     t1: float = 1.0,
     t2: float = 1.0,
@@ -80,8 +80,10 @@ def s_plus(
     c2: float = 0.5,
     pop1: Union[str, DataFrame] = "none",
     pop2: Union[str, DataFrame] = "none",
-    p1: float = 0.0,
-    p2: float = 0.0,
+    beta1: float = 0.0,
+    beta2: float = 0.0,
+    p1: Optional[float] = None,
+    p2: Optional[float] = None,
     alpha: float = 1.0,
     k: int = 100,
     shrink: float = 0.0,
@@ -110,8 +112,19 @@ def s_plus(
     (s_plus_utils.pyx:231-278). Selector semantics per s_plus.pyx:190-196,
     276-295 and s_plus.h:159-188.
 
+    Defaults match the reference public API (similarity.py:509-510:
+    l1=0.5, l2=0.5 — a blended Tversky+Cosine normalization, NOT raw dot
+    products). ``beta1``/``beta2`` are the reference's depop exponents
+    (similarity.py:519-520); ``p1``/``p2`` are accepted as aliases (the
+    kernel-level names, s_plus.pyx:118-119).
+
     Returns matrix DataFrame (row, col, value) with per-row top-k.
     """
+    if p1 is not None:
+        beta1 = p1
+    if p2 is not None:
+        beta2 = p2
+    p1, p2 = float(beta1), float(beta2)
     h_stab, h_bayes, h_add = _shrink_values(shrink, shrink_type)
 
     m1 = eliminate_zeros(m1.select("row", "col", "value"))
@@ -265,7 +278,7 @@ def dot_product(m1, m2=None, *, k=100, shrink=0.0, shrink_type="stabilized",
                 threshold=0.0, binary=False, target_rows=None,
                 target_cols=None, filter_cols=None) -> DataFrame:
     """Raw inner products + top-k (similarity.py:9-64: all l's zero)."""
-    return s_plus(m1, m2, k=k, shrink=shrink, shrink_type=shrink_type,
+    return s_plus(m1, m2, l1=0.0, l2=0.0, k=k, shrink=shrink, shrink_type=shrink_type,
                   threshold=threshold, binary=binary, target_rows=target_rows,
                   target_cols=target_cols, filter_cols=filter_cols)
 
@@ -274,7 +287,7 @@ def cosine(m1, m2=None, *, k=100, shrink=0.0, shrink_type="stabilized",
            threshold=0.0, binary=False, target_rows=None,
            target_cols=None, filter_cols=None) -> DataFrame:
     """dot/(‖x‖·‖y‖+h) (similarity.py:67-123: l2=1, c1=c2=0.5)."""
-    return s_plus(m1, m2, l2=1.0, c1=0.5, c2=0.5, k=k, shrink=shrink,
+    return s_plus(m1, m2, l1=0.0, l2=1.0, c1=0.5, c2=0.5, k=k, shrink=shrink,
                   shrink_type=shrink_type, threshold=threshold, binary=binary,
                   target_rows=target_rows, target_cols=target_cols,
                   filter_cols=filter_cols)
@@ -285,7 +298,7 @@ def asymmetric_cosine(m1, m2=None, *, alpha=0.5, k=100, shrink=0.0,
                       target_rows=None, target_cols=None,
                       filter_cols=None) -> DataFrame:
     """dot/((Σx²)^α (Σy²)^(1−α)) (similarity.py:126-186: c1=α, c2=1−α)."""
-    return s_plus(m1, m2, l2=1.0, c1=float(alpha), c2=1.0 - float(alpha), k=k,
+    return s_plus(m1, m2, l1=0.0, l2=1.0, c1=float(alpha), c2=1.0 - float(alpha), k=k,
                   shrink=shrink, shrink_type=shrink_type, threshold=threshold,
                   binary=binary, target_rows=target_rows,
                   target_cols=target_cols, filter_cols=filter_cols)
@@ -296,7 +309,7 @@ def tversky(m1, m2=None, *, alpha=1.0, beta=1.0, k=100, shrink=0.0,
             target_rows=None, target_cols=None, filter_cols=None) -> DataFrame:
     """Tversky index on squared-norm masses (similarity.py:189-249: l1=1,
     t1=α, t2=β)."""
-    return s_plus(m1, m2, l1=1.0, t1=float(alpha), t2=float(beta), k=k,
+    return s_plus(m1, m2, l1=1.0, l2=0.0, t1=float(alpha), t2=float(beta), k=k,
                   shrink=shrink, shrink_type=shrink_type, threshold=threshold,
                   binary=binary, target_rows=target_rows,
                   target_cols=target_cols, filter_cols=filter_cols)
@@ -343,7 +356,7 @@ def p3alpha(m1, m2=None, *, alpha=1.0, k=100, shrink=0.0,
         m2.select("row", "col", "value"))
     m1n = _l1_pow(m1, alpha)
     m2n = _l1_pow(m2, alpha)
-    return s_plus(m1n, m2n, k=k, shrink=shrink, shrink_type=shrink_type,
+    return s_plus(m1n, m2n, l1=0.0, l2=0.0, k=k, shrink=shrink, shrink_type=shrink_type,
                   threshold=threshold, binary=binary, target_rows=target_rows,
                   target_cols=target_cols, filter_cols=filter_cols,
                   tie_round=tie_round)
@@ -366,7 +379,7 @@ def rp3beta(m1, m2=None, *, alpha=1.0, beta=1.0, k=100, shrink=0.0,
     pop_m2 = m2.groupBy("col").agg(F.sum("value").alias("w"))
     m1n = _l1_pow(m1, alpha)
     m2n = _l1_pow(m2, alpha)
-    return s_plus(m1n, m2n, l3=1.0, pop1="none", pop2=pop_m2, p2=float(beta),
+    return s_plus(m1n, m2n, l1=0.0, l2=0.0, l3=1.0, pop1="none", pop2=pop_m2, beta2=float(beta),
                   k=k, shrink=shrink, shrink_type=shrink_type,
                   threshold=threshold, binary=binary, target_rows=target_rows,
                   target_cols=target_cols, filter_cols=filter_cols,

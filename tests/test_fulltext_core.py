@@ -125,6 +125,62 @@ def test_bm25_topk_rank_identical_to_oracle(spark, pages, pages_pd):
     assert n_checked > 300  # sanity: queries actually matched docs
 
 
+def test_bm25_topk_query_weighted(spark, pages):
+    """query_weighted=True scores Σ qw·weight: qw=1 on distinct terms
+    reproduces the binarized path; scaled/duplicated weights scale scores."""
+    postings = build_postings(pages)
+    weighted = bm25_weights(postings).cache()
+
+    qpd = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "terms": [["t000001", "t000007"], ["t000003", "t000005"]],
+        }
+    )
+    plain = bm25_topk(
+        weighted, spark.createDataFrame(qpd), k=5
+    ).toPandas()
+
+    # qw=1 over distinct terms == the binarized path
+    w1 = qpd.assign(weights=[[1.0] * len(t) for t in qpd.terms])
+    got1 = bm25_topk(
+        weighted, spark.createDataFrame(w1), k=5, query_weighted=True
+    ).toPandas()
+    a = plain.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = got1.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a.doc_id == b.doc_id).all()
+    np.testing.assert_allclose(a.score, b.score, rtol=1e-12)
+
+    # doubling every qw doubles every score (ranks unchanged)
+    w2 = w1.assign(weights=[[2.0] * len(w) for w in w1.weights])
+    got2 = bm25_topk(
+        weighted, spark.createDataFrame(w2), k=5, query_weighted=True
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (got2.doc_id == b.doc_id).all()
+    np.testing.assert_allclose(got2.score, 2.0 * b.score, rtol=1e-12)
+
+    # a duplicated term contributes twice (qw mass adds)
+    dup = pd.DataFrame(
+        {
+            "query_id": [0],
+            "terms": [["t000003", "t000003"]],
+            "weights": [[1.0, 1.0]],
+        }
+    )
+    one = pd.DataFrame(
+        {"query_id": [0], "terms": [["t000003"]], "weights": [[2.0]]}
+    )
+    gd = bm25_topk(weighted, spark.createDataFrame(dup), k=5,
+                   query_weighted=True).toPandas()
+    go = bm25_topk(weighted, spark.createDataFrame(one), k=5,
+                   query_weighted=True).toPandas()
+    np.testing.assert_allclose(
+        gd.sort_values("rank").score.to_numpy(),
+        go.sort_values("rank").score.to_numpy(), rtol=1e-12,
+    )
+    weighted.unpersist()
+
+
 def test_bm25_weights_language_filter(spark, pages):
     """lang predicate pushes into the scan; xx docs excluded end-to-end."""
     postings = build_postings(pages, lang="en")

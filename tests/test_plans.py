@@ -86,6 +86,20 @@ def test_s_plus_exchange_budget(spark, li_matrix):
     assert n <= 8, f"exchange count grew to {n}:\n{physical_plan(out)}"
 
 
+def test_matrix_weighting_has_no_window_operator(spark, li_matrix):
+    """tfidf/bm25/normalize on the matrix path compute group stats as
+    groupBy aggregates joined back, never as window aggregates: a window
+    partitioned by the term key is excluded from AQE skew splitting and
+    serializes a stopword's postings through one task."""
+    for df in (
+        sps.bm25(li_matrix),
+        sps.tfidf(li_matrix),
+        sps.normalize(li_matrix, "l2", axis=0),
+    ):
+        plan = physical_plan(df)
+        assert "Window" not in plan, plan
+
+
 def test_no_single_partition_exchange_in_hash_encodings(spark):
     """minhash/simhash/winnowing id assignment is a pure md5 projection —
     the plan must contain NO single-partition exchange. (The round-1

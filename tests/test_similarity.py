@@ -106,6 +106,21 @@ def test_s_plus_generalized(spark, m_topk):
     assert_topk_equal(got, exp)
 
 
+def test_s_plus_defaults_match_reference(spark, m_topk):
+    """s_plus() with NO l-params must blend Tversky+Cosine at 0.5/0.5 (the
+    reference's public defaults, similarity.py:509-510), not raw dot
+    products; beta1/beta2 are the reference's names for the depop exponents
+    and p1/p2 stay accepted as aliases."""
+    got = run(spark, sps.s_plus, m_topk, k=K)
+    exp = O.topk_np(O.s_plus_np(m_topk, m_topk.T, l1=0.5, l2=0.5), K)
+    assert_topk_equal(got, exp)
+
+    kwb = dict(l1=0.0, l2=0.0, l3=1.0, pop1="sum", pop2="sum")
+    via_beta = run(spark, sps.s_plus, m_topk, k=K, beta1=0.2, beta2=0.3, **kwb)
+    via_p = run(spark, sps.s_plus, m_topk, k=K, p1=0.2, p2=0.3, **kwb)
+    assert_topk_equal(via_beta, via_p)
+
+
 def test_target_rows(spark, m_topk):
     targets = [1, 14, 8, 200]
     got = run(spark, sps.cosine, m_topk, k=K, target_rows=targets)
