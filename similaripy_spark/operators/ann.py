@@ -38,6 +38,12 @@ def embeddings_to_matrix(
     ).select("row", "col", F.col("value").cast("double").alias("value"))
 
 
+#: rows above which the index side is no longer collected to the driver for
+#: the broadcast-GEMM path; `method='gemm'` auto-falls back to the fully
+#: distributed blocked GEMM. ~500k rows × 64 dims × 8 B ≈ 256 MB broadcast.
+GEMM_BROADCAST_CAP_ROWS = 500_000
+
+
 def ann_bruteforce_topk(
     emb: DataFrame,
     k: int = 10,
@@ -45,16 +51,29 @@ def ann_bruteforce_topk(
     vec_col: str = "embedding",
     include_self: bool = False,
     method: str = "gemm",
+    broadcast_cap_rows: int = GEMM_BROADCAST_CAP_ROWS,
+    index_block_rows: int = 100_000,
+    query_block_rows: int = 500_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbor lists (row, col=neighbor, value=cosine).
 
     method='gemm': the index side is broadcast as a dense float64 matrix and
     each Arrow batch of query vectors is scored with one BLAS GEMM +
     argpartition — the dense-vector analog of a broadcast hash join. The
-    relational path (method='join') joins on the dimension key, which has
-    only `dim` distinct values → a skewed blow-up; keep it for tiny inputs
-    or as an oracle. At a scale where the index side cannot be broadcast,
-    use ``ann_lsh_topk`` (bucketed candidates) instead.
+    driver collect is capped at ``broadcast_cap_rows``: above the cap the
+    call automatically degrades to method='blocked', so no input size can
+    OOM the driver.
+
+    method='blocked': fully distributed block-matrix GEMM — both sides are
+    hash-split into blocks, every (query-block, index-block) cell is scored
+    by one cogrouped Arrow batch (per-cell top-k with boundary-tie emission),
+    and a relational top-k merges the cells. Shuffle volume is
+    |Q|·n_index_blocks + |I|·n_query_blocks; nothing ever lands on the
+    driver. This is the 100-TB path.
+
+    The relational path (method='join') joins on the dimension key, which
+    has only `dim` distinct values → a skewed blow-up; keep it for tiny
+    inputs or as an oracle.
     """
     if method == "join":
         m = embeddings_to_matrix(emb, id_col, vec_col)
@@ -69,6 +88,22 @@ def ann_bruteforce_topk(
             out = out.filter(F.col("row") != F.col("col"))
             out = top_k(out, k)
         return out
+
+    if method == "blocked":
+        return _blocked_gemm_topk(
+            emb, k, id_col, vec_col, include_self,
+            index_block_rows, query_block_rows,
+        )
+    if method != "gemm":
+        raise ValueError(f"method must be join|gemm|blocked, got {method!r}")
+
+    # size-guard the driver collect (limit(cap+1) keeps the probe cheap)
+    n_probe = emb.select(id_col).limit(broadcast_cap_rows + 1).count()
+    if n_probe > broadcast_cap_rows:
+        return _blocked_gemm_topk(
+            emb, k, id_col, vec_col, include_self,
+            index_block_rows, query_block_rows,
+        )
 
     import numpy as np
     import pandas as pd
@@ -122,6 +157,93 @@ def ann_bruteforce_topk(
 
     out = emb.select(id_col, vec_col).mapInPandas(score, schema=schema)
     # exact tie semantics: re-rank the (k + boundary) candidates relationally
+    return top_k(out, k)
+
+
+def _blocked_gemm_topk(
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    include_self: bool,
+    index_block_rows: int,
+    query_block_rows: int,
+) -> DataFrame:
+    """Distributed block-matrix cosine top-k: hash both sides into blocks,
+    score every (qblk, iblk) grid cell with one vectorized GEMM inside a
+    cogrouped Arrow batch, union the per-cell (top-k + boundary ties)
+    candidates, and resolve exact deterministic ties relationally. No
+    driver-side collect anywhere; per-task memory is one query block + one
+    index block."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    n = emb.count()
+    n_iblk = max(1, -(-n // index_block_rows))
+    n_qblk = max(1, -(-n // query_block_rows))
+
+    iblk_ids = spark.range(n_iblk).select(F.col("id").cast("int").alias("iblk"))
+    qblk_ids = spark.range(n_qblk).select(F.col("id").cast("int").alias("qblk"))
+    # distinct column names per side: both frames derive from `emb`, and a
+    # cogrouped self-join with shared attribute ids is ambiguous to Catalyst
+    qside = emb.select(
+        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn(
+        "qblk", F.pmod(F.xxhash64("qid"), F.lit(n_qblk)).cast("int")
+    ).crossJoin(F.broadcast(iblk_ids))
+    iside = emb.select(
+        F.col(id_col).cast("long").alias("iid"), F.col(vec_col).alias("iv")
+    ).withColumn(
+        "iblk", F.pmod(F.xxhash64("iid"), F.lit(n_iblk)).cast("int")
+    ).crossJoin(F.broadcast(qblk_ids))
+
+    schema = T.StructType(
+        [
+            T.StructField("row", T.LongType(), False),
+            T.StructField("col", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"row": [], "col": [], "value": []}).astype(
+                {"row": "int64", "col": "int64", "value": "float64"}
+            )
+        q_ids = left["qid"].to_numpy(np.int64)
+        Q = np.array(left["qv"].tolist(), dtype=np.float64)
+        b_ids = right["iid"].to_numpy(np.int64)
+        E = np.array(right["iv"].tolist(), dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        bn = np.sqrt((E * E).sum(axis=1))
+        S = (Q @ E.T) / np.outer(qn, bn)
+        if not include_self:
+            order = np.argsort(b_ids)
+            pos = np.searchsorted(b_ids[order], q_ids)
+            pos = np.clip(pos, 0, len(b_ids) - 1)
+            hit = b_ids[order][pos] == q_ids
+            S[np.arange(len(q_ids))[hit], order[pos[hit]]] = -np.inf
+        kk = min(k, S.shape[1])
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        kth = S[np.arange(len(q_ids))[:, None], part].min(axis=1)
+        # keep every cell >= this block's k-th value: the global top-k is a
+        # subset of the union of per-block top-k sets, and boundary ties
+        # reach the deterministic relational re-rank
+        cand = S >= kth[:, None]
+        ri, ci = np.nonzero(cand)
+        vals = S[ri, ci]
+        keep = np.isfinite(vals)
+        return pd.DataFrame(
+            {"row": q_ids[ri[keep]], "col": b_ids[ci[keep]], "value": vals[keep]}
+        )
+
+    out = (
+        qside.groupBy("qblk", "iblk")
+        .cogroup(iside.groupBy("qblk", "iblk"))
+        .applyInPandas(score_cell, schema=schema)
+    )
     return top_k(out, k)
 
 
@@ -182,7 +304,12 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = pairs sharing any (table,
-    bucket); exact cosine on candidates only; per-row top-k."""
+    bucket); exact cosine computed directly ON the candidate pairs (join the
+    two embedding arrays onto each pair, ``zip_with`` dot product + norms),
+    then per-row top-k. Cost is linear in the candidate count — the
+    dimension-key SpGEMM never runs, which is the whole point of the LSH
+    scale path. (Round 1 passed the candidates as a target_cols matrix,
+    which s_plus applies only AFTER the full quadratic join.)"""
     buckets = lsh_buckets(emb, n_tables, n_planes, id_col, vec_col)
     a = buckets.select(F.col("row").alias("doc_a"), "table", "bucket")
     b = buckets.select(F.col("row").alias("doc_b"), "table", "bucket")
@@ -192,15 +319,37 @@ def ann_lsh_topk(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    m = embeddings_to_matrix(emb, id_col, vec_col)
-    mt = m.select(F.col("col").alias("row"), F.col("row").alias("col"), "value")
-    scored = cosine(
-        m,
-        mt,
-        k=k,
-        target_cols=cand.select(F.col("doc_a").alias("row"), F.col("doc_b").alias("col")),
+    dbl = lambda arr: F.transform(arr, lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(dbl(F.col(vec_col)), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return scored
+    ea = emb.select(
+        F.col(id_col).cast("long").alias("doc_a"),
+        dbl(F.col(vec_col)).alias("_va"),
+        norm.alias("_na"),
+    )
+    eb = emb.select(
+        F.col(id_col).cast("long").alias("doc_b"),
+        dbl(F.col(vec_col)).alias("_vb"),
+        norm.alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            F.col("doc_a").alias("row"),
+            F.col("doc_b").alias("col"),
+            (dot / (F.col("_na") * F.col("_nb"))).alias("value"),
+        )
+        # match s_plus output semantics: threshold 0 + drop exact zeros
+        .filter((F.col("value") >= 0.0) & (F.col("value") != 0.0))
+    )
+    return top_k(scored, k)
 
 
 def embedding_dedup_pairs(

@@ -138,6 +138,44 @@ def test_ann_bruteforce_matches_numpy(spark, embeddings):
         )
 
 
+def test_ann_blocked_gemm_matches_broadcast_gemm(spark, embeddings):
+    """The distributed blocked GEMM returns exactly the broadcast-GEMM
+    result, including deterministic tie resolution, even with tiny blocks
+    (many grid cells)."""
+    sub = embeddings.filter("vec_id < 120")
+    a = ann.ann_bruteforce_topk(sub, k=5).toPandas()
+    b = ann.ann_bruteforce_topk(
+        sub, k=5, method="blocked", index_block_rows=17, query_block_rows=29
+    ).toPandas()
+    a = a.sort_values(["row", "col"]).reset_index(drop=True)
+    b = b.sort_values(["row", "col"]).reset_index(drop=True)
+    assert (a.row == b.row).all() and (a.col == b.col).all()
+    np.testing.assert_allclose(a.value, b.value, rtol=1e-12)
+
+
+def test_ann_gemm_never_collects_above_cap(spark, embeddings, monkeypatch):
+    """Above broadcast_cap_rows the gemm path must not move the index side
+    to the driver: pin it by making toPandas explode."""
+    from pyspark.sql import DataFrame as _DF
+
+    sub = embeddings.filter("vec_id < 100")
+    want = ann.ann_bruteforce_topk(sub, k=3).toPandas()
+
+    def _boom(self):
+        raise AssertionError("driver-side collect above the broadcast cap")
+
+    monkeypatch.setattr(_DF, "toPandas", _boom)
+    got_df = ann.ann_bruteforce_topk(sub, k=3, broadcast_cap_rows=10)
+    got = pd.DataFrame(
+        [r.asDict() for r in got_df.collect()]
+    )
+    a = want.sort_values(["row", "col"]).reset_index(drop=True)
+    b = got.sort_values(["row", "col"]).reset_index(drop=True)
+    assert (a.row.to_numpy() == b.row.to_numpy()).all()
+    assert (a.col.to_numpy() == b.col.to_numpy()).all()
+    np.testing.assert_allclose(a.value, b.value, rtol=1e-12)
+
+
 def test_ann_lsh_recall(spark, embeddings):
     exact = ann.ann_bruteforce_topk(embeddings, k=5).toPandas()
     approx = ann.ann_lsh_topk(embeddings, k=5, n_tables=6, n_planes=8).toPandas()
