@@ -494,6 +494,7 @@ def term_major_topk(
     k: int = 10,
     prune: bool = True,
     n_buckets: int = 64,
+    max_pruned_terms: int = 10_000,
 ) -> DataFrame:
     """Point-query path over the term-major merged layout: bucket-pruned scan
     of exactly the queried terms' blocks, then one scoring pass per query.
@@ -501,13 +502,28 @@ def term_major_topk(
     Best when the query batch is small and selective (the blocks of each
     query's terms are shipped to that query's group). For large batches use
     ``segment_topk`` — it amortizes decode per shard instead.
+
+    The partition-pruning ``isin`` literal list requires collecting the
+    distinct query terms to the driver; the collect is capped at
+    ``max_pruned_terms`` — above the cap the scan degrades to a semi-join
+    on the query terms (row-level pruning only, no partition pruning, but
+    safe at any batch size).
     """
+    import os as _os
+
     from similaripy_spark.fulltext.index_merge import read_merged_for_terms
 
     qterms = queries.select("query_id", F.explode("terms").alias("term"))
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
-    blocks = read_merged_for_terms(spark, index_dir, terms, n_buckets)
-    joined = blocks.join(F.broadcast(qterms), "term")
+    dterms = qterms.select("term").distinct()
+    term_rows = dterms.limit(max_pruned_terms + 1).collect()
+    if len(term_rows) <= max_pruned_terms:
+        terms = [r["term"] for r in term_rows]
+        blocks = read_merged_for_terms(spark, index_dir, terms, n_buckets)
+        joined = blocks.join(F.broadcast(qterms), "term")
+    else:
+        merged = spark.read.parquet(_os.path.join(index_dir, "merged"))
+        blocks = merged.join(dterms, "term", "left_semi")
+        joined = blocks.join(qterms, "term")
 
     def score_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]

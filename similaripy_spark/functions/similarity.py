@@ -94,6 +94,7 @@ def s_plus(
     target_cols: Selector = None,
     filter_cols: Selector = None,
     tie_round: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Generalized similarity (reference: similarity.py:506-592 public API,
     s_plus.h:129-156 formula):
@@ -111,6 +112,10 @@ def s_plus(
     ``pop1``/``pop2``: 'none' | 'sum' | DataFrame(id, w) custom weights
     (s_plus_utils.pyx:231-278). Selector semantics per s_plus.pyx:190-196,
     276-295 and s_plus.h:159-188.
+
+    ``max_df``: optional hot-dimension cap — shared dimensions with more
+    than max_df m2 entries are dropped from both matrices before anything
+    else (approximation knob for skewed data; None = exact).
 
     Defaults match the reference public API (similarity.py:509-510:
     l1=0.5, l2=0.5 — a blended Tversky+Cosine normalization, NOT raw dot
@@ -136,6 +141,30 @@ def s_plus(
     if binary:  # s_plus_utils.pyx:281-308
         m1 = m1.withColumn("value", F.lit(1.0))
         m2 = m2.withColumn("value", F.lit(1.0))
+
+    if max_df is not None:
+        # Hot-dimension mitigation: drop shared dimensions whose m2 posting
+        # count exceeds max_df from BOTH matrices up front. A hot dimension
+        # (stopword column) contributes |postings|² output pairs — an
+        # intrinsic blow-up that no shuffle-level skew handling (AQE,
+        # salting) can reduce; df-capping is the standard approximation
+        # (the Spark-era analog of the reference's popularity machinery,
+        # s_plus_utils.pyx:493-618, which reorders hot columns for
+        # locality). Semantics: identical to running s_plus on the
+        # pre-filtered matrices — norms and populations see the filtered
+        # data. The hot set is tiny by construction → broadcast anti-joins.
+        hot = (
+            m2.groupBy("row")
+            .agg(F.count("*").alias("_dimdf"))
+            .filter(F.col("_dimdf") > int(max_df))
+            .select("row")
+        )
+        m2 = m2.join(F.broadcast(hot), "row", "left_anti")
+        m1 = m1.join(
+            F.broadcast(hot.select(F.col("row").alias("col"))),
+            "col",
+            "left_anti",
+        )
 
     # --- row/col statistics BEFORE any selector pruning (the reference builds
     # norm vectors from the full matrices: s_plus.pyx:227-273) -------------
@@ -276,21 +305,22 @@ _COMMON_DOC = dict()
 
 def dot_product(m1, m2=None, *, k=100, shrink=0.0, shrink_type="stabilized",
                 threshold=0.0, binary=False, target_rows=None,
-                target_cols=None, filter_cols=None) -> DataFrame:
+                target_cols=None, filter_cols=None, max_df=None) -> DataFrame:
     """Raw inner products + top-k (similarity.py:9-64: all l's zero)."""
     return s_plus(m1, m2, l1=0.0, l2=0.0, k=k, shrink=shrink, shrink_type=shrink_type,
                   threshold=threshold, binary=binary, target_rows=target_rows,
-                  target_cols=target_cols, filter_cols=filter_cols)
+                  target_cols=target_cols, filter_cols=filter_cols,
+                  max_df=max_df)
 
 
 def cosine(m1, m2=None, *, k=100, shrink=0.0, shrink_type="stabilized",
            threshold=0.0, binary=False, target_rows=None,
-           target_cols=None, filter_cols=None) -> DataFrame:
+           target_cols=None, filter_cols=None, max_df=None) -> DataFrame:
     """dot/(‖x‖·‖y‖+h) (similarity.py:67-123: l2=1, c1=c2=0.5)."""
     return s_plus(m1, m2, l1=0.0, l2=1.0, c1=0.5, c2=0.5, k=k, shrink=shrink,
                   shrink_type=shrink_type, threshold=threshold, binary=binary,
                   target_rows=target_rows, target_cols=target_cols,
-                  filter_cols=filter_cols)
+                  filter_cols=filter_cols, max_df=max_df)
 
 
 def asymmetric_cosine(m1, m2=None, *, alpha=0.5, k=100, shrink=0.0,

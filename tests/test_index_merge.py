@@ -83,6 +83,16 @@ def test_term_major_topk_matches_sql(spark, built):
     assert list(got["doc_id"]) == list(expected["doc_id"])
     np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
 
+    # above the collect cap the scan degrades to a semi-join (no driver-side
+    # isin literal list) and must return the identical ranking
+    capped = (
+        term_major_topk(spark, d, queries, k=10, n_buckets=16,
+                        max_pruned_terms=2)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(capped["doc_id"]) == list(expected["doc_id"])
+    np.testing.assert_allclose(capped["score"], expected["score"], rtol=1e-4)
+
 
 def test_incremental_merge_reweights_globally(spark, tmp_path):
     """Index halves separately, merge, compare against a from-scratch build

@@ -59,3 +59,38 @@ def test_lineage_and_metrics_tables(spark, built):
     )
     seg_postings = read_segments(spark, built).agg(F.sum("n")).first()[0]
     assert int(total_postings) == int(seg_postings)
+
+
+def test_s_plus_max_df_drops_hot_dimensions(spark):
+    """The similarity path's hot-dimension cap: s_plus(m, max_df=d) must be
+    exactly s_plus on the matrix with >d-df dimensions removed — the
+    intrinsic |postings(hot_col)|² pair blow-up is bounded by construction
+    (Spark-era analog of the reference's popularity machinery,
+    s_plus_utils.pyx:493-618)."""
+    import numpy as np
+
+    import similaripy_spark as sps
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for r in range(200):
+        # a planted stopword dimension 0 present in EVERY row + sparse tail
+        rows.append((r, 0, float(rng.integers(1, 5))))
+        for c in rng.choice(np.arange(1, 80), size=6, replace=False):
+            rows.append((r, int(c), float(rng.integers(1, 5))))
+    m = spark.createDataFrame(rows, "row long, col long, value double")
+
+    capped = sps.cosine(m, k=10, max_df=50).toPandas()
+    manual = sps.cosine(m.filter("col != 0"), k=10).toPandas()
+    a = capped.sort_values(["row", "col"]).reset_index(drop=True)
+    b = manual.sort_values(["row", "col"]).reset_index(drop=True)
+    assert (a.row == b.row).all() and (a.col == b.col).all()
+    np.testing.assert_allclose(a.value, b.value, rtol=1e-12)
+
+    # and the cap is inert when nothing exceeds it
+    inert = sps.cosine(m, k=10, max_df=10_000).toPandas()
+    full = sps.cosine(m, k=10).toPandas()
+    a = inert.sort_values(["row", "col"]).reset_index(drop=True)
+    b = full.sort_values(["row", "col"]).reset_index(drop=True)
+    assert (a.col == b.col).all()
+    np.testing.assert_allclose(a.value, b.value, rtol=1e-12)
