@@ -30,7 +30,6 @@ from __future__ import annotations
 import json
 import math
 import os
-import shutil
 import time
 import uuid
 from typing import Iterator
@@ -43,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from similaripy_spark.fulltext import codec
+from similaripy_spark.fulltext.commit import CommitProtocol, LocalFSCommitProtocol
 from similaripy_spark.fulltext.postings import build_postings
 from similaripy_spark.fulltext.weights import bm25_weights
 
@@ -172,7 +172,12 @@ class IndexBuilder:
         n_groups: int = 8,
         lang: str | None = None,
         group_concurrency: int = 1,
+        commit: CommitProtocol | None = None,
     ):
+        #: all artifact publishes go through the commit protocol — the
+        #: local-FS rename backend here, an object-store pointer-swap
+        #: backend in a cloud deployment (commit.py)
+        self.commit = commit or LocalFSCommitProtocol()
         self.index_dir = index_dir
         self.k1, self.b = k1, b
         self.block_size = block_size
@@ -187,22 +192,15 @@ class IndexBuilder:
 
     def committed_groups(self) -> set[int]:
         d = os.path.join(self.index_dir, "lineage")
-        if not os.path.isdir(d):
-            return set()
-        out = set()
-        for f in os.listdir(d):
-            if f.startswith("group_") and f.endswith(".json"):
-                try:
-                    rec = json.load(open(os.path.join(d, f)))
-                    if rec.get("status") == "done":
-                        out.add(rec["group"])
-                except (json.JSONDecodeError, KeyError):
-                    pass  # torn write → treated as not committed
-        return out
+        return {
+            rec["group"]
+            for rec in self.commit.list_committed_json(d, "group_")
+            if rec.get("status") == "done" and "group" in rec
+        }
 
     def lineage(self) -> list[dict]:
         return [
-            json.load(open(self._lineage_path(g)))
+            self.commit.read_json(self._lineage_path(g))
             for g in sorted(self.committed_groups())
         ]
 
@@ -236,8 +234,8 @@ class IndexBuilder:
         """Build from a postings relation (doc_id, term, tf, dl) — also the
         re-weighting entry for incremental merges (index_merge.py)."""
         spark = postings.sparkSession
-        os.makedirs(os.path.join(self.index_dir, "lineage"), exist_ok=True)
-        os.makedirs(os.path.join(self.index_dir, "segments"), exist_ok=True)
+        self.commit.ensure_dir(os.path.join(self.index_dir, "lineage"))
+        self.commit.ensure_dir(os.path.join(self.index_dir, "segments"))
 
         weighted = bm25_weights(
             postings, k1=self.k1, b=self.b, n_docs=n_docs
@@ -252,7 +250,7 @@ class IndexBuilder:
         meta_path = os.path.join(self.index_dir, "meta.json")
         ts_path = os.path.join(self.index_dir, "term_stats")
         run_id = uuid.uuid4().hex[:12]
-        if not os.path.exists(meta_path) or not resume:
+        if not self.commit.exists(meta_path) or not resume:
             corpus = weighted.agg(
                 F.countDistinct("doc_id").alias("n_docs"),
                 (F.sum(F.col("tf").cast("double")) / F.countDistinct("doc_id")).alias("avgdl"),
@@ -271,10 +269,8 @@ class IndexBuilder:
                 "n_groups": self.n_groups,
                 "lang": self.lang,
             }
-            tmp = meta_path + ".tmp"
-            json.dump(meta, open(tmp, "w"), indent=1)
-            os.replace(tmp, meta_path)
-            ts_tmp = ts_path + "_tmp"
+            self.commit.publish_json(meta_path, meta)
+            ts_tmp = self.commit.stage_path(ts_path)
             (
                 weighted.groupBy("term")
                 .agg(
@@ -286,24 +282,20 @@ class IndexBuilder:
                 .write.mode("overwrite")
                 .parquet(ts_tmp)
             )
-            if os.path.isdir(ts_path):
-                shutil.rmtree(ts_path)
-            os.replace(ts_tmp, ts_path)
+            self.commit.commit_dir(ts_tmp, ts_path)
             # per-doc lengths (the BM25 "norms" table) — required to
             # re-weight after incremental merges
             ds_path = os.path.join(self.index_dir, "doc_stats")
-            ds_tmp = ds_path + "_tmp"
+            ds_tmp = self.commit.stage_path(ds_path)
             (
                 weighted.select("doc_id", "dl", "shard")
                 .distinct()
                 .write.mode("overwrite")
                 .parquet(ds_tmp)
             )
-            if os.path.isdir(ds_path):
-                shutil.rmtree(ds_path)
-            os.replace(ds_tmp, ds_path)
+            self.commit.commit_dir(ds_tmp, ds_path)
         else:
-            meta = json.load(open(meta_path))
+            meta = self.commit.read_json(meta_path)
         self._n_shards_hint = int(meta.get("n_shards", 0))
 
         done = self.committed_groups() if resume else set()
@@ -338,9 +330,7 @@ class IndexBuilder:
                 )
             )
             gdir = os.path.join(self.index_dir, "segments", f"group={g}")
-            gtmp = gdir + "__tmp"
-            if os.path.isdir(gtmp):
-                shutil.rmtree(gtmp)  # torn previous attempt
+            gtmp = self.commit.stage_path(gdir)
             seg.write.mode("overwrite").parquet(gtmp)
             # group stats from parquet footers + one tiny column read,
             # driver-side — a Spark job here costs ~1 s of scheduling per
@@ -359,9 +349,7 @@ class IndexBuilder:
                 for r, _, fs in os.walk(gtmp)
                 for f in fs
             )
-            if os.path.isdir(gdir):
-                shutil.rmtree(gdir)  # uncommitted leftovers
-            os.replace(gtmp, gdir)
+            self.commit.commit_dir(gtmp, gdir)
             rec = {
                 "stage": "segment_build",
                 "group": g,
@@ -372,9 +360,7 @@ class IndexBuilder:
                 "bytes": int(disk_bytes),
                 "wall_ms": int((time.monotonic() - t0) * 1000),
             }
-            ltmp = self._lineage_path(g) + ".tmp"
-            json.dump(rec, open(ltmp, "w"))
-            os.replace(ltmp, self._lineage_path(g))
+            self.commit.publish_json(self._lineage_path(g), rec)
 
         pending = [g for g in range(self.n_groups) if g not in done]
         try:

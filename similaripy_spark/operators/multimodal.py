@@ -13,8 +13,12 @@ marked slots of the same mapInPandas kernels.
   computes a real, deterministic 16-bin byte histogram (np.frombuffer →
   bincount, no per-row Python beyond the list comprehension over blobs —
   blobs are variable-length so a ragged loop is inherent; the arithmetic is
-  vectorized per blob). ``mode='decode'`` raises NotImplementedError with
-  the integration instructions.
+  vectorized per blob). ``mode='decode'`` REALLY decodes uncompressed
+  24-bit BMP and binary PPM (P6) images with pure NumPy (``decode_image``)
+  into an 8×8 block-mean grayscale feature vector; compressed formats
+  (jpeg/png/...) raise NotImplementedError naming the format — that is the
+  slot where PIL/ffmpeg goes in a full deployment, with the surrounding
+  Spark plumbing unchanged.
 * ``frame_sample``     — deterministic byte-stride "frame" sampler standing
   in for video frame extraction; same batch shape as the real thing.
 """
@@ -62,6 +66,96 @@ def binary_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+# --- pure-NumPy image decoders (no codec libraries needed) ------------------
+
+def _decode_bmp(raw: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB Windows BMP → (H, W, 3) uint8 RGB.
+    Format is public (Windows BITMAPINFOHEADER layout)."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = int.from_bytes(raw[10:14], "little")
+    width = int.from_bytes(raw[18:22], "little", signed=True)
+    height = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    compression = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP decoded here (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    data = np.frombuffer(raw, np.uint8, count=row_bytes * height, offset=pixel_off)
+    rows = data.reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def _decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (H, W, 3) uint8 RGB."""
+    if raw[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval), with
+    # '#'-comment lines allowed; pixel data starts after the single
+    # whitespace byte following maxval
+    tokens, i, n = [], 2, len(raw)
+    while len(tokens) < 3 and i < n:
+        while i < n and raw[i : i + 1].isspace():
+            i += 1
+        if raw[i : i + 1] == b"#":
+            while i < n and raw[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not raw[j : j + 1].isspace():
+            j += 1
+        tokens.append(raw[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not decoded here")
+    i += 1  # the single whitespace after maxval
+    data = np.frombuffer(raw, np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def decode_image(raw: bytes) -> np.ndarray:
+    """Dispatch on magic bytes → (H, W, 3) uint8 RGB. BMP/PPM are decoded
+    for real; compressed containers name themselves in the error — that is
+    the documented PIL/ffmpeg integration slot."""
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
+    if raw[:2] == b"P6":
+        return _decode_ppm(raw)
+    fmt = "unknown"
+    for magic, name in _MAGIC:
+        if raw[: len(magic) // 2].hex().startswith(magic.lower()):
+            fmt = name
+            break
+    raise NotImplementedError(
+        f"decode for format {fmt!r} requires a codec library (PIL/ffmpeg) — "
+        "not present in this container; drop the decoder into "
+        "decode_image() (input: bytes, output: (H, W, 3) uint8) and the "
+        "surrounding Spark plumbing is unchanged"
+    )
+
+
+def image_grid_feature(img: np.ndarray, grid: int = 8) -> np.ndarray:
+    """(H, W, 3) uint8 → grid×grid block-mean grayscale vector in [0, 1]
+    (float32, length grid²) — a deterministic downsample-resize, the
+    classic perceptual-hash precursor."""
+    gray = img.astype(np.float32).mean(axis=2) / 255.0
+    h, w = gray.shape
+    ri = (np.arange(h) * grid) // max(h, 1)
+    ci = (np.arange(w) * grid) // max(w, 1)
+    out = np.zeros((grid, grid), np.float64)
+    cnt = np.zeros((grid, grid), np.int64)
+    np.add.at(out, (ri[:, None], ci[None, :]), gray)
+    np.add.at(cnt, (ri[:, None], ci[None, :]), 1)
+    return (out / np.maximum(cnt, 1)).astype(np.float32).ravel()
+
+
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -80,8 +174,11 @@ def extract_features(
     """mapInPandas feature extraction over binary blobs.
 
     mode='histogram': L1-normalized byte histogram (deterministic, real).
-    mode='decode':    the slot where PIL/torchvision/ffmpeg decode would go —
-                      raises NotImplementedError in this container.
+    mode='decode':    real pure-NumPy decode of BMP/PPM into an 8×8
+                      block-mean grayscale vector (``decode_image`` +
+                      ``image_grid_feature``); compressed formats raise
+                      NotImplementedError naming the format — the PIL/ffmpeg
+                      integration slot.
     """
     if mode not in ("histogram", "decode"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -90,12 +187,15 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "decode":
-            raise NotImplementedError(
-                "media decode requires PIL/ffmpeg — not present in this "
-                "container; drop the decoder here (input: bytes, output: "
-                "float feature vector) and the surrounding Spark plumbing "
-                "is unchanged"
-            )
+            for b in batches:
+                feats = [
+                    image_grid_feature(decode_image(bytes(blob)))
+                    for blob in b["media"]
+                ]
+                yield pd.DataFrame(
+                    {"doc_id": b["doc_id"].astype("int64"), "feature": feats}
+                )
+            return
         for b in batches:
             feats = []
             for blob in b["media"]:

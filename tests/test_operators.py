@@ -261,9 +261,68 @@ def test_histogram_features(spark, media):
     np.testing.assert_allclose(out.loc[0, "feature"], exp, rtol=1e-6)
 
 
-def test_decode_stub_raises(spark, media):
+def test_decode_unsupported_format_raises(spark, media):
+    """Compressed formats (png/jpeg) still raise, naming the format — the
+    honest PIL/ffmpeg integration slot."""
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.extract_features(media, mode="decode").collect()
+
+
+def _bmp_bytes(img):
+    """Encode (H, W, 3) uint8 RGB as an uncompressed 24-bit bottom-up BMP."""
+    h, w, _ = img.shape
+    row = (w * 3 + 3) & ~3
+    pad = row - w * 3
+    px = bytearray()
+    for r in range(h - 1, -1, -1):
+        px += img[r][:, ::-1].tobytes()  # RGB -> BGR
+        px += b"\x00" * pad
+    off = 54
+    hdr = (
+        b"BM"
+        + (off + len(px)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return bytes(hdr + px)
+
+
+def _ppm_bytes(img):
+    h, w, _ = img.shape
+    return f"P6\n# c\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def test_decode_bmp_ppm_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(multimodal.decode_image(_bmp_bytes(img)), img)
+    np.testing.assert_array_equal(multimodal.decode_image(_ppm_bytes(img)), img)
+
+
+def test_decode_mode_end_to_end(spark):
+    """mode='decode' really decodes BMP/PPM through the Spark plumbing:
+    a uniform gray-level image yields a constant 8x8 grid feature."""
+    g1 = np.full((16, 16, 3), 100, np.uint8)
+    g2 = np.full((9, 13, 3), 200, np.uint8)
+    rows = [(0, _bmp_bytes(g1)), (1, _ppm_bytes(g2))]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = (
+        multimodal.extract_features(media, mode="decode")
+        .toPandas().set_index("doc_id")["feature"]
+    )
+    f0, f1 = np.array(out[0]), np.array(out[1])
+    assert f0.shape == (64,) and f1.shape == (64,)
+    np.testing.assert_allclose(f0, 100 / 255.0, rtol=1e-6)
+    np.testing.assert_allclose(f1, 200 / 255.0, rtol=1e-6)
 
 
 def test_frame_sample(spark, media):
