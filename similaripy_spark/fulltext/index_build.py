@@ -48,6 +48,23 @@ from similaripy_spark.fulltext.weights import bm25_weights
 
 BLOCK_SIZE = 128
 
+#: keep the shard count bounded as the corpus grows: the batch query path
+#: (wand.segment_topk) replicates every query batch to every shard, so query
+#: fan-out is proportional to n_shards — hold shards at ~target_shards by
+#: growing the shard instead (the shard_size↑ knob for 100x corpora).
+DEFAULT_TARGET_SHARDS = 256
+
+
+def derive_shard_size(
+    n_docs: int,
+    target_shards: int = DEFAULT_TARGET_SHARDS,
+    min_shard_size: int = 1 << 14,
+) -> int:
+    """Power-of-two shard size that keeps n_docs/shard_size <= target_shards
+    (never below min_shard_size — tiny shards waste per-group decode)."""
+    need = max(int(math.ceil(n_docs / max(target_shards, 1))), 1)
+    return max(min_shard_size, 1 << max(need - 1, 0).bit_length())
+
 SEGMENT_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType(), False),
@@ -168,7 +185,7 @@ class IndexBuilder:
         k1: float = 1.2,
         b: float = 0.75,
         block_size: int = BLOCK_SIZE,
-        shard_size: int = 1 << 14,
+        shard_size: int | str = 1 << 14,
         n_groups: int = 8,
         lang: str | None = None,
         group_concurrency: int = 1,
@@ -237,6 +254,10 @@ class IndexBuilder:
         self.commit.ensure_dir(os.path.join(self.index_dir, "lineage"))
         self.commit.ensure_dir(os.path.join(self.index_dir, "segments"))
 
+        if self.shard_size == "auto":
+            # one cheap max() action; doc ids are dense-ish by contract
+            hi = postings.agg(F.max("doc_id").alias("m")).first()["m"] or 0
+            self.shard_size = derive_shard_size(int(hi) + 1)
         weighted = bm25_weights(
             postings, k1=self.k1, b=self.b, n_docs=n_docs
         ).withColumn(

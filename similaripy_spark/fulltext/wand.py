@@ -36,6 +36,8 @@ tests/test_similarity.py:293-294).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -545,6 +547,88 @@ def term_major_topk(
     )
     out = top_k(
         local, k, group="query_id", order_value="score", tiebreak="doc_id",
+        keep_rank=True,
+    )
+    return out.select("query_id", "doc_id", "score", "rank")
+
+
+def bucket_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Mid-size-batch path over the term-major merged layout: one cogroup
+    per TERM BUCKET (not per shard, not per query).
+
+    BM25 scores are additive over terms, so each bucket scores only the
+    postings of ITS query terms into partial (query_id, doc_id, partial)
+    sums; a groupBy(query_id, doc_id) merge + top-k finishes the job. Query
+    fan-out is the number of distinct buckets a query's terms hash to
+    (<= its term count, independent of shard count) — between
+    ``term_major_topk`` (ships each query's blocks to a per-query group:
+    great for point queries, hot blocks duplicated per query) and
+    ``segment_topk`` (replicates the whole batch to every shard: great for
+    huge batches). No driver-side term collect anywhere.
+    """
+    merged = spark.read.parquet(os.path.join(index_dir, "merged"))
+    qterms = (
+        queries.select("query_id", F.explode("terms").alias("term"))
+        .distinct()
+        .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+    )
+    blocks = merged.withColumn(
+        "bucket", F.crc32(F.col("term")) % n_buckets
+    ).join(qterms.select("term").distinct(), "term", "left_semi")
+
+    def score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        if q_pdf.empty or seg_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        idx = _ShardIndex(seg_pdf)
+        uterms = list(dict.fromkeys(q_pdf["term"]))
+        docs, weights, spans = idx.decode_terms(uterms)
+        # per term: tile its postings once per query containing it
+        by_term = q_pdf.groupby("term")["query_id"]
+        q_parts, d_parts, w_parts = [], [], []
+        for t, qids in by_term:
+            se = spans.get(t)
+            if se is None:
+                continue
+            s, e = se
+            n = e - s
+            qa = qids.to_numpy(np.int64)
+            q_parts.append(np.repeat(qa, n))
+            d_parts.append(np.tile(docs[s:e], len(qa)))
+            w_parts.append(np.tile(weights[s:e], len(qa)))
+        if not q_parts:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        uq, ud, partial = _accumulate(
+            np.concatenate(q_parts), np.concatenate(d_parts),
+            np.concatenate(w_parts),
+        )
+        return pd.DataFrame(
+            {"query_id": uq, "doc_id": ud, "score": partial}
+        )
+
+    partials = (
+        qterms.groupby("bucket")
+        .cogroup(blocks.groupby("bucket"))
+        .applyInPandas(score_bucket, schema=_RESULT_SCHEMA)
+    )
+    totals = partials.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score")
+    )
+    out = top_k(
+        totals, k, group="query_id", order_value="score", tiebreak="doc_id",
         keep_rank=True,
     )
     return out.select("query_id", "doc_id", "score", "rank")

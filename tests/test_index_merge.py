@@ -94,6 +94,44 @@ def test_term_major_topk_matches_sql(spark, built):
     np.testing.assert_allclose(capped["score"], expected["score"], rtol=1e-4)
 
 
+def test_bucket_topk_matches_sql(spark, built):
+    """The per-term-bucket cogroup batch path (partial additive scores per
+    bucket, merged relationally) is rank-identical to the SQL path."""
+    from similaripy_spark.fulltext.wand import bucket_topk
+
+    d, pages = built
+    queries_pd = generate_queries_pandas(40, vocab_size=VOCAB)
+    queries = spark.createDataFrame(queries_pd)
+    expected = (
+        bm25_topk(bm25_weights(build_postings(pages)), queries, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        bucket_topk(spark, d, queries, k=10, n_buckets=16)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(expected["doc_id"])
+    np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
+
+
+def test_shard_size_auto_derivation(spark, tmp_path):
+    """shard_size='auto' holds the shard count at <= target as the corpus
+    grows (query fan-out of the batch path is proportional to n_shards)."""
+    from similaripy_spark.fulltext.index_build import (
+        DEFAULT_TARGET_SHARDS,
+        derive_shard_size,
+    )
+
+    for n in (1_000, 10_000_000, 10**9, 10**12):
+        ss = derive_shard_size(n)
+        assert -(-n // ss) <= DEFAULT_TARGET_SHARDS
+    # end-to-end: auto resolves before sharding and is recorded in meta
+    pages = generate_pages(spark, 300, vocab_size=400)
+    d = str(tmp_path / "auto")
+    meta = IndexBuilder(d, shard_size="auto", n_groups=2).build(pages)
+    assert meta["shard_size"] >= 1 << 14 and meta["n_shards"] == 1
+
+
 def test_incremental_merge_reweights_globally(spark, tmp_path):
     """Index halves separately, merge, compare against a from-scratch build
     of the union — BM25 df/avgdl must reflect the merged corpus."""
