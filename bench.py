@@ -133,14 +133,63 @@ def headline_queries(cpus: int, sf_dir: str) -> dict[str, float]:
             "pricing_summary",
             "events_window",
         ]
+        # best-of-N per query: the sandbox disk has minutes-long
+        # noisy-neighbor storms (observed 5-37 s for the SAME query in
+        # consecutive runs); a single timing measures the neighbors
+        repeats = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
         out = {}
         for name in picks:
-            t0 = time.monotonic()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.monotonic() - t0, 3)
+            best = None
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.monotonic() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            out[name] = best
+        out.update(_skew_demo(spark))
         return out
     finally:
         spark.stop()
+
+
+def _skew_demo(spark) -> dict[str, float]:
+    """Hot-dimension demonstration: cosine top-k over a Zipf doc×term matrix
+    (hot term in ~10% of docs → |postings|² pair blow-up) with and without
+    the max_df cap. The capped run bounds the intrinsic quadratic work the
+    shuffle-level skew handling cannot (VERDICT round-1 item 6)."""
+    import similaripy_spark as sps
+    from similaripy_spark.fulltext.postings import build_postings
+    from similaripy_spark.sources.pages import generate_pages
+
+    from pyspark.sql import functions as F
+
+    # the uncapped side grows ~quadratically in the hot term's df — 6k docs
+    # keeps the demonstration O(20 s) while the capped twin stays O(3 s)
+    n_docs = int(os.environ.get("BENCH_SKEW_DOCS", "6000"))
+    pages = generate_pages(spark, n_docs, vocab_size=20000)
+    m = (
+        build_postings(pages)
+        .select(
+            F.col("doc_id").alias("row"),
+            (F.crc32(F.col("term")) % (1 << 31)).alias("col"),
+            F.col("tf").cast("double").alias("value"),
+        )
+        .persist()
+    )
+    m.count()
+    out = {}
+    t0 = time.monotonic()
+    sps.cosine(m, k=10).write.format("noop").mode("overwrite").save()
+    out["cosine_zipf"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    sps.cosine(m, k=10, max_df=int(n_docs * 0.01)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["cosine_zipf_maxdf"] = round(time.monotonic() - t0, 3)
+    m.unpersist()
+    return out
 
 
 def main():
@@ -197,28 +246,36 @@ def main():
         low = int(os.environ.get("BENCH_SCALE_LOW", "2"))
         high = int(os.environ.get("BENCH_SCALE_HIGH", "8"))
         reps = int(os.environ.get("BENCH_SCALE_REPEATS", "1"))
-        ft_low = run_level(low, repeats=reps, scale_docs=True)
-        ft_high = run_level(high, repeats=reps, scale_docs=True)
+        ft_low_fresh = run_level(low, repeats=reps, scale_docs=True)
+        ft_high_fresh = run_level(high, repeats=reps, scale_docs=True)
         # the sandbox disk is a shared virtual device: minutes-long
         # noisy-neighbor I/O storms add one-sided slowdowns of up to ~40%.
-        # Keep a history of level runs and report best-per-level — measuring
-        # the engine, not the neighbors.
-        ft_low = _best_of_history(ft_low)
-        ft_high = _best_of_history(ft_high)
+        # Keep a history of level runs and report BOTH the fresh
+        # (this-run, contemporaneous) pair and the best-per-level pair —
+        # fresh shows what a single honest run measures, best-per-level
+        # measures the engine instead of the neighbors.
+        ft_low = _best_of_history(ft_low_fresh)
+        ft_high = _best_of_history(ft_high_fresh)
         factor = high / low
+
+        def eff(hi: dict, lo: dict, key: str) -> float:
+            return round((hi[key] / lo[key]) / factor, 3)
+
         scaling = {
             "low": ft_low,
             "high": ft_high,
-            "build_efficiency": round(
-                (ft_high["build_docs_per_sec"] / ft_low["build_docs_per_sec"])
-                / factor,
-                3,
-            ),
-            "query_efficiency": round(
-                (ft_high["queries_per_sec"] / ft_low["queries_per_sec"])
-                / factor,
-                3,
-            ),
+            "build_efficiency": eff(ft_high, ft_low, "build_docs_per_sec"),
+            "query_efficiency": eff(ft_high, ft_low, "queries_per_sec"),
+            "fresh": {
+                "low": ft_low_fresh,
+                "high": ft_high_fresh,
+                "build_efficiency": eff(
+                    ft_high_fresh, ft_low_fresh, "build_docs_per_sec"
+                ),
+                "query_efficiency": eff(
+                    ft_high_fresh, ft_low_fresh, "queries_per_sec"
+                ),
+            },
         }
         _write_baseline_md(ft_high, ft_low, scaling, high, low)
 
@@ -264,6 +321,7 @@ def _best_of_history(result: dict) -> dict:
 
 
 def _write_baseline_md(high, low, scaling, cpus, low_cpus):
+    fresh = scaling["fresh"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
@@ -273,23 +331,35 @@ Same job (synthetic Zipf pages → SPIMI index build → BM25 top-10 batch) at
 two local parallelism levels on identical input, per BASELINE.json's
 two-cluster-size rule (`local[{low_cpus}]` vs `local[{cpus}]`).
 
+Best-per-level across BENCH/history.jsonl (the engine's measurement —
+noisy-neighbor defense below):
+
 | metric | local[{low_cpus}] | local[{cpus}] | efficiency ((hi/lo)/{cpus//low_cpus}) |
 |---|---|---|---|
 | index build docs/sec | {low['build_docs_per_sec']} | {high['build_docs_per_sec']} | {scaling['build_efficiency']} |
 | BM25 top-10 queries/sec | {low['queries_per_sec']} | {high['queries_per_sec']} | {scaling['query_efficiency']} |
 
+Fresh single-run pair (both levels measured back-to-back in THIS run —
+what one honest uncontrolled run shows, noise included):
+
+| metric | local[{low_cpus}] | local[{cpus}] | efficiency |
+|---|---|---|---|
+| index build docs/sec | {fresh['low']['build_docs_per_sec']} | {fresh['high']['build_docs_per_sec']} | {fresh['build_efficiency']} |
+| BM25 top-10 queries/sec | {fresh['low']['queries_per_sec']} | {fresh['high']['queries_per_sec']} | {fresh['query_efficiency']} |
+
 Corpus: {high['n_docs']} docs, {high['n_queries']} queries, Zipf(1.07)
 vocabulary (hot term ≈10% of tokens). Build time excludes synthetic page
 generation (input-side cost). Target: efficiency ≥ 0.8.
 
-Numbers are best-per-level across BENCH/history.jsonl (best-of-N within a
-run plus history across runs): this sandbox's disk is a shared virtual
-device with minutes-long noisy-neighbor I/O storms adding one-sided
-slowdowns up to ~40%, so a single timing measures the neighbors, not the
-engine. The 8→32 pair is intentionally not used: one socket's DRAM
-bandwidth saturates near 8 concurrent streaming workers here (reproduced
-with a numpy multiprocessing microbench; disappears when scatter targets
-are L3-sized), an artifact a per-node-bandwidth cluster doesn't have.
+Why two tables: this sandbox's disk is a shared virtual device with
+minutes-long noisy-neighbor I/O storms adding one-sided slowdowns up to
+~40%, so a single timing can measure the neighbors, not the engine;
+best-per-level (best-of-N within a run plus history across runs) removes
+that one-sided noise. The 8→32 pair is intentionally not used: one
+socket's DRAM bandwidth saturates near 8 concurrent streaming workers here
+(reproduced with a numpy multiprocessing microbench; disappears when
+scatter targets are L3-sized), an artifact a per-node-bandwidth cluster
+doesn't have.
 """)
 
 

@@ -167,25 +167,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ (doc_id, h, minhash): h-th MinHash of the doc's shingle set with
     h_i(x1, x2) = (a_i·x1 + c_i·x2 + b_i) mod P over the md5 id pair —
-    a_i/b_i/c_i fixed integer polynomials of i, everything inside int64."""
-    spark = docs.sparkSession
+    a_i/b_i/c_i fixed integer polynomials of i, everything inside int64.
+
+    Executed as ONE groupBy pass with n_hashes min-aggregates, then an
+    unpivot: no hash-table crossJoin (which would materialize n_hashes×
+    the shingle rows AND re-evaluate the md5 ids under the collapsed join
+    projection), full map-side partial aggregation, md5 computed once per
+    shingle via codegen subexpression elimination."""
     sh = _shingle_ids(word_shingles(docs, n, text_col, id_col))
-    hashes = spark.range(n_hashes).select(
-        F.col("id").cast("int").alias("h"),
-        ((F.col("id") * 2 + 1) * _HA % _PRIME).alias("a"),
-        (F.col("id") * _HB + 7).alias("b"),
-        ((F.col("id") * 2 + 2) * _HA % _PRIME).alias("c"),
+    x1, x2 = F.col("x1"), F.col("x2")
+    aggs = []
+    for i in range(n_hashes):
+        a = (i * 2 + 1) * _HA % _PRIME
+        b = i * _HB + 7
+        c = (i * 2 + 2) * _HA % _PRIME
+        aggs.append(F.min((a * x1 + c * x2 + b) % _PRIME).alias(f"_m{i}"))
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    pairs = ", ".join(
+        f"CAST({i} AS INT), _m{i}" for i in range(n_hashes)
     )
-    return (
-        sh.crossJoin(F.broadcast(hashes))
-        .groupBy("doc_id", "h")
-        .agg(
-            F.min(
-                (F.col("a") * F.col("x1") + F.col("c") * F.col("x2") + F.col("b"))
-                % _PRIME
-            ).alias("minhash")
-        )
-    )
+    return per_doc.select(
+        "doc_id",
+        F.expr(f"stack({n_hashes}, {pairs}) AS (h, minhash)"),
+    ).select("doc_id", "h", F.col("minhash").cast("long").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -239,8 +243,12 @@ def simhash(
     """→ (doc_id, simhash): tf-weighted SimHash over md5-derived term ids
     (pure projection — no dictionary window/join); bit j set iff
     Σ_terms tf·(g(term,j) ? +1 : −1) > 0 with g = the xor-shift/MINSTD mix
-    in ``_mix_bit`` — engine-independent."""
-    spark = docs.sparkSession
+    in ``_mix_bit`` — engine-independent.
+
+    Executed as ONE groupBy pass with `bits` sum-aggregates (no bit-table
+    crossJoin: that materializes bits× the tf rows and re-evaluates the md5
+    ids under the collapsed join projection), then one bit-combine
+    expression; fully map-side-combinable."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_expr(F.col(text_col))).alias("term"),
@@ -248,19 +256,20 @@ def simhash(
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     x1, x2 = _hash_pair(F.col("term"))
     tf = tf.select("doc_id", "tf", x1.alias("x1"), x2.alias("x2"))
-    bit_tbl = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
-    g = _mix_bit(F.col("x1"), F.col("x2"), F.col("bit"))
-    signed = F.when(g == 1, F.col("tf")).otherwise(-F.col("tf"))
-    per_bit = (
-        tf.crossJoin(F.broadcast(bit_tbl))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum(signed).alias("s"))
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-        ).alias("simhash")
-    )
+    aggs = []
+    for b in range(bits):
+        g = _mix_bit(F.col("x1"), F.col("x2"), F.lit(b).cast("long"))
+        signed = F.when(g == 1, F.col("tf")).otherwise(-F.col("tf"))
+        aggs.append(F.sum(signed).alias(f"_s{b}"))
+    per_doc = tf.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        # bit 63 wraps to Long.MIN_VALUE, matching shiftleft(1L, 63)
+        bitval = (1 << b) if b < 63 else -(1 << 63)
+        sim = sim + F.when(
+            F.col(f"_s{b}") > 0, F.lit(bitval).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
