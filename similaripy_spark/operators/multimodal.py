@@ -2,10 +2,11 @@
 
 Images/audio/video are carried as binary columns; the Spark-side plumbing
 (schemas, Arrow batch shapes, partitioning of large blobs) is real and
-tested, while the codec-dependent decode steps are STUBBED behind
-``NotImplementedError`` or a deterministic fake — the image/audio libraries
-are not in this container; a real deployment drops PIL/ffmpeg calls into the
-marked slots of the same mapInPandas kernels.
+tested. Image decode is REAL for BMP/PPM/baseline-PNG (pure NumPy + stdlib
+zlib — no codec library); the remaining codec-dependent steps (jpeg, audio,
+video) raise ``NotImplementedError`` naming the format — a real deployment
+drops PIL/ffmpeg calls into the marked slots of the same mapInPandas
+kernels.
 
 * ``sniff_media_type`` — magic-byte container detection, pure expressions.
 * ``binary_meta``      — size/prefix/hash metadata, pure expressions.
@@ -14,11 +15,12 @@ marked slots of the same mapInPandas kernels.
   bincount, no per-row Python beyond the list comprehension over blobs —
   blobs are variable-length so a ragged loop is inherent; the arithmetic is
   vectorized per blob). ``mode='decode'`` REALLY decodes uncompressed
-  24-bit BMP and binary PPM (P6) images with pure NumPy (``decode_image``)
-  into an 8×8 block-mean grayscale feature vector; compressed formats
-  (jpeg/png/...) raise NotImplementedError naming the format — that is the
-  slot where PIL/ffmpeg goes in a full deployment, with the surrounding
-  Spark plumbing unchanged.
+  24-bit BMP, binary PPM (P6), and baseline PNG (8-bit gray/RGB/RGBA,
+  stdlib zlib + NumPy, all five scanline filters) via ``decode_image`` into
+  an 8×8 block-mean grayscale feature vector; remaining compressed formats
+  (jpeg/...) raise NotImplementedError naming the format — that is the slot
+  where PIL/ffmpeg goes in a full deployment, with the surrounding Spark
+  plumbing unchanged.
 * ``frame_sample``     — deterministic byte-stride "frame" sampler standing
   in for video frame extraction; same batch shape as the real thing.
 """
@@ -120,14 +122,95 @@ def _decode_ppm(raw: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(raw: bytes) -> np.ndarray:
+    """Baseline PNG (public spec, RFC 2083) → (H, W, 3) uint8 RGB using only
+    stdlib zlib + NumPy: 8-bit depth, color types 0 (gray), 2 (RGB),
+    6 (RGBA, alpha dropped), non-interlaced. All five scanline filters are
+    reconstructed (Sub via per-lane cumsum; Average/Paeth per-pixel — exact,
+    row-sequential by spec)."""
+    import struct
+    import zlib
+
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not decoded here (depth={depth}, color_type="
+            f"{color}, interlace={interlace}) — 8-bit gray/RGB/RGBA "
+            "non-interlaced supported"
+        )
+    stride = w * channels
+    flat = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(flat) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    lines = flat.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    bpp = channels
+    for y in range(h):
+        ftype, row = int(lines[y, 0]), lines[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: per-byte-lane prefix sum mod 256
+            lanes = row.reshape(w, bpp)
+            rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = row + up
+        elif ftype == 3:  # Average (left is sequential)
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = row[x] + ((left + up[x]) >> 1)
+                rec[x] &= 0xFF
+        elif ftype == 4:  # Paeth (sequential predictor)
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = int(out[y - 1, x - bpp]) if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
 def decode_image(raw: bytes) -> np.ndarray:
-    """Dispatch on magic bytes → (H, W, 3) uint8 RGB. BMP/PPM are decoded
-    for real; compressed containers name themselves in the error — that is
-    the documented PIL/ffmpeg integration slot."""
+    """Dispatch on magic bytes → (H, W, 3) uint8 RGB. BMP/PPM/baseline-PNG
+    are decoded for real (pure NumPy + stdlib zlib); remaining compressed
+    containers name themselves in the error — that is the documented
+    PIL/ffmpeg integration slot."""
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
     if raw[:2] == b"P6":
         return _decode_ppm(raw)
+    if raw[:8] == _PNG_MAGIC:
+        return _decode_png(raw)
     fmt = "unknown"
     for magic, name in _MAGIC:
         if raw[: len(magic) // 2].hex().startswith(magic.lower()):

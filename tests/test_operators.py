@@ -332,3 +332,79 @@ def test_frame_sample(spark, media):
     assert list(f0["frame_id"]) == [0, 1, 2, 3]
     blob = bytes.fromhex("89504e470d0a1a0a") + b"x" * 100
     assert bytes(f0.iloc[0]["frame"]) == blob[:8]
+
+
+def _png_bytes(img, filters=None):
+    """Minimal PNG encoder (RGB8, non-interlaced) applying the given filter
+    type per row — exercises the decoder's reconstruction of all 5 filters."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    bpp = 3
+    if filters is None:
+        filters = [y % 5 for y in range(h)]
+    rows = bytearray()
+    prev = np.zeros(w * bpp, np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        rows.append(f)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - left) & 0xFF
+        elif f == 2:
+            filt = (cur - prev) & 0xFF
+        elif f == 3:
+            filt = np.empty_like(cur)
+            for x in range(w * bpp):
+                left = cur[x - bpp] if x >= bpp else 0
+                filt[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+        else:
+            filt = np.empty_like(cur)
+            for x in range(w * bpp):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (cur[x] - pred) & 0xFF
+        rows.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters():
+    """PNG decode (stdlib zlib, pure NumPy) reconstructs every scanline
+    filter type exactly."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in (None, [0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10):
+        got = multimodal.decode_image(_png_bytes(img, filters))
+        np.testing.assert_array_equal(got, img, err_msg=f"filters={filters}")
+
+
+def test_decode_png_end_to_end(spark):
+    img = np.full((16, 16, 3), 77, np.uint8)
+    media = spark.createDataFrame(
+        [(0, _png_bytes(img))], "doc_id long, media binary"
+    )
+    out = multimodal.extract_features(media, mode="decode").collect()
+    f = np.array(out[0]["feature"])
+    np.testing.assert_allclose(f, 77 / 255.0, rtol=1e-6)
