@@ -339,55 +339,78 @@ def _score_batch(
     bounded by ``chunk`` (2048 × shard span doubles ≈ 200 MB at 12k-doc
     shards)."""
     qids_all = q_pdf["query_id"].to_numpy(np.int64)
-    incidence: dict[str, list[int]] = {}
-    for qi, terms in enumerate(q_pdf["terms"]):
-        for t in dict.fromkeys(terms):
-            if t in idx._groups:
-                incidence.setdefault(t, []).append(qi)
-    if not incidence:
+    n_q = len(q_pdf)
+    # --- vectorized incidence build: explode (query, term), factorize the
+    # terms, keep those present in this shard, dedupe (query, term) pairs —
+    # the only remaining Python loops run over DISTINCT terms, not over
+    # (query × term) pairs (this loop dominated query-side scaling) -------
+    term_lists = [np.asarray(t, dtype=object) for t in q_pdf["terms"]]
+    qlens = np.array([len(t) for t in term_lists], np.int64)
+    if qlens.sum() == 0:
         return pd.DataFrame(_EMPTY_RESULT)
-    docs, weights, spans = idx.decode_terms(list(incidence))
+    all_terms = np.concatenate(term_lists)
+    all_qi = np.repeat(np.arange(n_q, dtype=np.int64), qlens)
+    codes, uniq_terms = pd.factorize(all_terms)
+    present = np.array([t in idx._groups for t in uniq_terms], bool)
+    keep = present[codes]
+    if not keep.any():
+        return pd.DataFrame(_EMPTY_RESULT)
+    n_codes = len(uniq_terms)
+    pair_key = np.unique(all_qi[keep] * n_codes + codes[keep])
+    pair_qi = pair_key // n_codes  # ascending (qi-major unique)
+    pair_code = pair_key % n_codes
+
+    docs, weights, spans = idx.decode_terms(
+        [t for t, p in zip(uniq_terms, present) if p]
+    )
     if len(docs) == 0:
         return pd.DataFrame(_EMPTY_RESULT)
+    # span arrays indexed by term code (absent codes keep 0-length spans)
+    code_s = np.zeros(n_codes, np.int64)
+    code_e = np.zeros(n_codes, np.int64)
+    for ci in np.flatnonzero(present):
+        se = spans.get(uniq_terms[ci])
+        if se is not None:
+            code_s[ci], code_e[ci] = se
     d_min = int(docs.min())
     span = int(docs.max()) - d_min + 1
     local = docs - d_min
     if chunk is None:
         # 256 queries/chunk keeps the dense grid small enough to scale
-        # under full-core concurrency while amortizing the per-chunk term
-        # loop; exact L3 sizing (chunk≈80 at 4.7k-doc spans) loses more to
+        # under full-core concurrency while amortizing per-chunk overhead;
+        # exact L3 sizing (chunk≈80 at 4.7k-doc spans) loses more to
         # per-chunk overhead than it gains in cache residency (measured:
         # 131 vs 188 q/s at the 300k-doc 8-core point)
         chunk = 256
 
-    n_q = len(q_pdf)
-    # per-term query lists, sorted once; per-chunk slices via searchsorted
-    inc_sorted = {
-        t: np.asarray(ql, np.int64) for t, ql in incidence.items()
-    }
     out_parts = []
     for c0 in range(0, n_q, chunk):
         c1 = min(c0 + chunk, n_q)
         nq = c1 - c0
-        flat_parts, w_parts = [], []
-        for t, ql_all in inc_sorted.items():
-            lo = np.searchsorted(ql_all, c0)
-            hi = np.searchsorted(ql_all, c1)
-            if lo == hi:
-                continue
-            ql = ql_all[lo:hi]
-            s, e = spans[t]
-            tl = local[s:e]
-            tw = weights[s:e]
-            base = (ql - c0) * span
-            flat_parts.append(
-                (np.repeat(base, e - s) + np.tile(tl, len(ql)))
-            )
-            w_parts.append(np.tile(tw, len(ql)))
-        if not flat_parts:
+        lo = np.searchsorted(pair_qi, c0)
+        hi = np.searchsorted(pair_qi, c1)
+        if lo == hi:
             continue
-        flat = np.concatenate(flat_parts)
-        wts = np.concatenate(w_parts)
+        # fully vectorized chunk assembly (no per-term Python loop):
+        # for every (query, term) pair expand the term's posting span via
+        # the ranges-from-starts/lengths trick, then one gather
+        p_qi = pair_qi[lo:hi]
+        p_s = code_s[pair_code[lo:hi]]
+        p_e = code_e[pair_code[lo:hi]]
+        lens = p_e - p_s
+        nz = lens > 0
+        if not nz.any():
+            continue
+        p_qi, p_s, lens = p_qi[nz], p_s[nz], lens[nz]
+        ends = np.cumsum(lens)
+        m = int(ends[-1])
+        arena = (
+            np.arange(m, dtype=np.int64)
+            - np.repeat(ends - lens, lens)
+            + np.repeat(p_s, lens)
+        )
+        flat = np.repeat((p_qi - c0) * span, lens) + local[arena]
+        wts = weights[arena]
         nbins = nq * span
         S = np.bincount(flat, weights=wts, minlength=nbins).reshape(nq, span)
         matched = np.bincount(flat, minlength=nbins).reshape(nq, span) > 0
