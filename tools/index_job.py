@@ -3,7 +3,7 @@
 Build:
   spark-submit --py-files dist/similaripy_spark.zip tools/index_job.py \
       build --pages /data/pages_parquet --index /data/index \
-      [--shard-size 1048576] [--groups 64] [--lang en]
+      [--shard-size auto|N] [--groups 64] [--lang en]
 
 Query:
   spark-submit ... tools/index_job.py \
@@ -31,7 +31,14 @@ def main(argv=None):
     b = sub.add_parser("build")
     b.add_argument("--pages", required=True)
     b.add_argument("--index", required=True)
-    b.add_argument("--shard-size", type=int, default=1 << 20)
+    b.add_argument(
+        "--shard-size",
+        type=lambda v: v if v == "auto" else int(v),
+        default="auto",
+        help="docs per shard; 'auto' derives a power of two holding the "
+        "shard count at <=256 for any corpus size (bounds batch-query "
+        "fan-out)",
+    )
     b.add_argument("--groups", type=int, default=64)
     b.add_argument("--lang", default=None)
     b.add_argument("--no-resume", action="store_true")
