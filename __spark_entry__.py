@@ -1035,6 +1035,127 @@ FROM sessed GROUP BY 1, 2
 """
 
 
+def _q_bm25_weighted_topk(spark, sf_dir):
+    """query_weighted dot-product composition: per-term weights 0.5·pos,
+    duplicates NOT deduplicated (their qw mass adds)."""
+    from similaripy_spark.fulltext.query import bm25_topk
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    ).withColumn(
+        "weights",
+        F.expr("transform(sequence(1, size(terms)), i -> i * 0.5)"),
+    )
+    w = bm25_weights(_postings(spark, sf_dir))
+    out = bm25_topk(w, queries, k=10, query_weighted=True)
+    return out.select("query_id", "doc_id", _r6("score").alias("score"))
+
+
+_SQL_BM25_WEIGHTED_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  qterms AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term,
+           generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3], 1) * 0.5 AS qw
+    FROM documents WHERE doc_id % 25 = 0),
+  scores AS (
+    SELECT q.query_id, w.doc_id, SUM(q.qw * w.weight) AS score
+    FROM qterms q JOIN weights w ON q.term = w.term
+    WHERE q.term <> ''
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by Hamming distance over 24-bit SimHashes (small enough
+    that same-distribution docs collide; the pigeonhole block prefilter
+    runs with max_hamming+1 = 4 blocks of 6 bits)."""
+    from similaripy_spark.operators.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bits=24)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_SQL_SIMHASH_PAIRS = """
+WITH toks AS (
+    SELECT doc_id, t.term FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+      FROM documents) t
+    WHERE t.term <> ''),
+  tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+  tfi AS (SELECT doc_id, tf,
+                 CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) AS x1,
+                 CAST(('0x' || substr(md5(term), 9, 7)) AS BIGINT) AS x2
+          FROM tf),
+  bits AS (SELECT CAST(b AS BIGINT) AS bit FROM range(24) t(b)),
+  x0 AS (SELECT doc_id, tf, bit,
+               (x1 * 48271 + x2 * 16807 + (bit + 1) * 97) % 2147483647 AS x
+        FROM tfi CROSS JOIN bits),
+  x1 AS (SELECT doc_id, tf, bit, (xor(x, x >> 7) * 48271) % 2147483647 AS x FROM x0),
+  x2 AS (SELECT doc_id, tf, bit, (xor(x, x >> 11) * 16807) % 2147483647 AS x FROM x1),
+  g AS (SELECT doc_id, tf, bit, xor(x, x >> 5) % 2 AS g FROM x2),
+  per_bit AS (
+    SELECT doc_id, bit, SUM(CASE WHEN g = 1 THEN tf ELSE -tf END) AS s
+    FROM g GROUP BY 1, 2),
+  sim AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sh
+    FROM per_bit GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+def _q_embedding_dedup(spark, sf_dir):
+    """Near-duplicate vectors: exact cosine >= 0.2 pairs over a 300-vector
+    subset (k = subset size so the top-k truncation is inert — pair-exact)."""
+    from similaripy_spark.operators.ann import embedding_dedup_pairs
+
+    sub = _emb(spark, sf_dir).filter(F.col("vec_id") < 300)
+    out = embedding_dedup_pairs(sub, threshold=0.2, k=300)
+    return out.select("doc_a", "doc_b", _r6("cosine").alias("cosine"))
+
+
+_SQL_EMBEDDING_DEDUP = """
+WITH m AS (
+    SELECT vec_id AS row, t.col - 1 AS col, CAST(t.v AS DOUBLE) AS value
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS col
+          FROM embeddings WHERE vec_id < 300) t
+    WHERE t.v <> 0),
+  xy AS (SELECT a.row, b.row AS col, SUM(a.value * b.value) AS xy
+         FROM m a JOIN m b ON a.col = b.col
+         WHERE a.row < b.row GROUP BY 1, 2),
+  nrm AS (SELECT row, SUM(value * value) AS sq FROM m GROUP BY 1)
+SELECT xy.row AS doc_a, xy.col AS doc_b,
+       FLOOR((xy.xy / (POW(x.sq, 0.5) * POW(y.sq, 0.5))) * 1000000 + 0.5) / 1000000 AS cosine
+FROM xy JOIN nrm x ON xy.row = x.row JOIN nrm y ON xy.col = y.row
+WHERE xy.xy / (POW(x.sq, 0.5) * POW(y.sq, 0.5)) >= 0.2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1048,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25plus_weights": _q_bm25plus_weights,
         "tfidf_weights": _q_tfidf_weights,
         "bm25_topk": _q_bm25_topk,
+        "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
         "norm_l2_row": lambda s, d: _q_norm(s, d, "l2", 1),
@@ -1071,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -1081,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_log_prob": _q_tfidf_logprob,
         # embeddings / ANN
         "ann_cosine_topk": _q_ann_cosine,
+        "embedding_dedup_pairs": _q_embedding_dedup,
         "knn_label_vote": _q_knn_vote,
         # relational breadth
         "pricing_summary": _q_pricing_summary,
@@ -1120,6 +1244,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
 """,
         "tfidf_weights": _SQL_TFIDF,
         "bm25_topk": _SQL_BM25_TOPK,
+        "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],
         "norm_max_row": _SQL_NORM[("max", 1)],
@@ -1140,6 +1265,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "minhash_lsh_pairs": _SQL_LSH_PAIRS,
         "ngram_jaccard_pairs": _SQL_JACCARD_PAIRS,
         "simhash": _SQL_SIMHASH,
+        "simhash_pairs": _SQL_SIMHASH_PAIRS,
         "token_stats": _SQL_TOKEN_STATS,
         "quality_score": _SQL_QUALITY,
         "cosine_bayes_shrink": _SQL_COSINE_BAYES,
@@ -1147,6 +1273,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "winnow_fingerprints": _SQL_WINNOW,
         "lang_guess": _sql_lang_guess(),
         "ann_cosine_topk": _SQL_ANN_COSINE,
+        "embedding_dedup_pairs": _SQL_EMBEDDING_DEDUP,
         "knn_label_vote": _SQL_KNN_VOTE,
         "pricing_summary": _SQL_PRICING,
         "pricing_rollup": _SQL_PRICING_ROLLUP,
