@@ -324,7 +324,8 @@ _EMPTY_RESULT = {
 
 
 def _score_batch(
-    idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int | None = None
+    idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int | None = None,
+    query_weighted: bool = False,
 ) -> pd.DataFrame:
     """Dense-accumulator batch scorer — the distributed twin of the
     reference's SPA (s_plus.h:71-240), vectorized across a whole query
@@ -356,7 +357,19 @@ def _score_batch(
     if not keep.any():
         return pd.DataFrame(_EMPTY_RESULT)
     n_codes = len(uniq_terms)
-    pair_key = np.unique(all_qi[keep] * n_codes + codes[keep])
+    key = all_qi[keep] * n_codes + codes[keep]
+    if query_weighted:
+        # duplicate (query, term) occurrences ADD their qw mass — exactly
+        # the relational Σ qw·weight semantics (query.py)
+        all_qw = np.concatenate(
+            [np.asarray(w, np.float64) for w in q_pdf["weights"]]
+        )
+        pair_key, inv = np.unique(key, return_inverse=True)
+        pair_qw = np.bincount(inv, weights=all_qw[keep],
+                              minlength=len(pair_key))
+    else:
+        pair_key = np.unique(key)
+        pair_qw = None
     pair_qi = pair_key // n_codes  # ascending (qi-major unique)
     pair_code = pair_key % n_codes
 
@@ -397,11 +410,14 @@ def _score_batch(
         p_qi = pair_qi[lo:hi]
         p_s = code_s[pair_code[lo:hi]]
         p_e = code_e[pair_code[lo:hi]]
+        p_qw = pair_qw[lo:hi] if pair_qw is not None else None
         lens = p_e - p_s
         nz = lens > 0
         if not nz.any():
             continue
         p_qi, p_s, lens = p_qi[nz], p_s[nz], lens[nz]
+        if p_qw is not None:
+            p_qw = p_qw[nz]
         ends = np.cumsum(lens)
         m = int(ends[-1])
         arena = (
@@ -411,6 +427,8 @@ def _score_batch(
         )
         flat = np.repeat((p_qi - c0) * span, lens) + local[arena]
         wts = weights[arena]
+        if p_qw is not None:
+            wts = wts * np.repeat(p_qw, lens)
         nbins = nq * span
         S = np.bincount(flat, weights=wts, minlength=nbins).reshape(nq, span)
         matched = np.bincount(flat, minlength=nbins).reshape(nq, span) > 0
@@ -449,6 +467,7 @@ def segment_topk(
     prune: bool = True,
     batch: bool | None = None,
     shard_ids=None,
+    query_weighted: bool = False,
 ) -> DataFrame:
     """queries(query_id, terms) × doc-sharded segments → global top-k
     (query_id, doc_id, score, rank).
@@ -462,6 +481,11 @@ def segment_topk(
     """
     if batch is None:
         batch = True
+    if query_weighted and not batch:
+        raise ValueError(
+            "query_weighted requires the batch scorer (batch=True); the "
+            "MaxScore point path assumes binarized queries"
+        )
     spark = segments.sparkSession
     if shard_ids is None:
         # distinct shard ids are tiny (n_docs / shard_size); collecting
@@ -471,7 +495,8 @@ def segment_topk(
             r["shard"] for r in segments.select("shard").distinct().collect()
         ]
     shards = spark.createDataFrame([(int(s),) for s in shard_ids], "shard int")
-    qx = queries.select("query_id", "terms").crossJoin(F.broadcast(shards))
+    qcols = ["query_id", "terms"] + (["weights"] if query_weighted else [])
+    qx = queries.select(*qcols).crossJoin(F.broadcast(shards))
 
     def score_shard(seg_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(seg_pdf) == 0 or len(q_pdf) == 0:
@@ -482,7 +507,7 @@ def segment_topk(
             )
         idx = _ShardIndex(seg_pdf)
         if batch:
-            return _score_batch(idx, q_pdf, k)
+            return _score_batch(idx, q_pdf, k, query_weighted=query_weighted)
         out_q, out_d, out_s = [], [], []
         for qid, terms in zip(q_pdf["query_id"], q_pdf["terms"]):
             uterms = list(dict.fromkeys(terms))

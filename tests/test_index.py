@@ -128,6 +128,40 @@ def test_segment_query_matches_sql_path(spark, built, mode):
     np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
 
 
+def test_segment_query_weighted_matches_sql_path(spark, built):
+    """The batch segment scorer's weighted mode (Σ qw·weight, duplicates
+    adding) is rank-identical to the relational weighted path."""
+    import pandas as pd
+
+    d, meta, pages = built
+    queries_pd = generate_queries_pandas(30, vocab_size=VOCAB)
+    # positional weights + a planted duplicate term on the first query
+    queries_pd["terms"] = queries_pd["terms"].map(list)
+    queries_pd.at[0, "terms"] = queries_pd.at[0, "terms"] + [
+        queries_pd.at[0, "terms"][0]
+    ]
+    queries_pd["weights"] = queries_pd["terms"].map(
+        lambda ts: [0.5 * (i + 1) for i in range(len(ts))]
+    )
+    queries = spark.createDataFrame(queries_pd)
+
+    weighted = bm25_weights(build_postings(pages))
+    expected = (
+        bm25_topk(weighted, queries, k=10, query_weighted=True)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = (
+        segment_topk(read_segments(spark, d), queries, k=10,
+                     query_weighted=True)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(expected["doc_id"])
+    np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
+    with pytest.raises(ValueError):
+        segment_topk(read_segments(spark, d), queries, k=10,
+                     query_weighted=True, batch=False)
+
+
 def test_segment_topk_shard_ids_param(spark, built):
     """Passing the known shard list (range(n_shards)) must match the
     discovered-shards default — the param only skips a driver job."""
