@@ -389,12 +389,12 @@ def _score_batch(
     span = int(docs.max()) - d_min + 1
     local = docs - d_min
     if chunk is None:
-        # 256 queries/chunk keeps the dense grid small enough to scale
-        # under full-core concurrency while amortizing per-chunk overhead;
-        # exact L3 sizing (chunk≈80 at 4.7k-doc spans) loses more to
-        # per-chunk overhead than it gains in cache residency (measured:
-        # 131 vs 188 q/s at the 300k-doc 8-core point)
-        chunk = 256
+        # Default 256 queries/chunk; override with SIMILARIPY_SCORER_CHUNK.
+        # Round-1 measured exact L3 sizing slower because the per-chunk
+        # PYTHON term loop dominated; that loop is now vectorized (ranges
+        # gather), so smaller, cache-resident grids are back on the table —
+        # the bench re-measures this trade.
+        chunk = int(os.environ.get("SIMILARIPY_SCORER_CHUNK", "256"))
 
     out_parts = []
     for c0 in range(0, n_q, chunk):
