@@ -12,10 +12,13 @@ Reproduces the semantics of the reference's Cython kernels
 * ``bm25plus``   — BM25+ (Lv & Zhai) (normalization.pyx:260-334)
 
 Everything is built-in ``pyspark.sql.functions`` — no UDFs — so the whole
-weighting pass stays inside whole-stage codegen. Per-group statistics are
+weighting pass stays inside whole-stage codegen. Per-TERM statistics are
 ``groupBy`` aggregates joined back to the cells (map-side partial combine +
 AQE-convertible, skew-splittable joins — a window partitioned by the term
-key would put a stopword's whole posting list in one task); global scalars
+key would put a stopword's whole posting list in one task); per-DOC
+statistics use a window in the default orientation (row groups are
+document-length-bounded — skew-safe and one exchange cheaper) and the
+aggregate+join shape when the doc key is a column (axis=0); global scalars
 (N, avgdl) ride in via a broadcast cross-join of a 1-row aggregate, keeping
 the plan fully lazy.
 
@@ -37,7 +40,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TF_MODES = ("binary", "raw", "sqrt", "freq", "log")
@@ -93,26 +96,38 @@ def normalize(m: DataFrame, norm: str = "l2", axis: int = 1) -> DataFrame:
     """l1/l2/max scaling (normalization.pyx:97-197).
 
     Groups with zero (l1/l2) or non-positive (max) norms are left unscaled,
-    matching the kernels' skip rules. The per-group norm is a ``groupBy``
-    aggregate joined back (map-side combine + AQE skew handling), not a
-    window — for axis=0 a hot column would otherwise occupy one task.
+    matching the kernels' skip rules.
+
+    Physical strategy by axis: row groups (axis=1) are document-length-
+    bounded, so a single window shuffle is both skew-safe and one exchange
+    cheaper; column groups (axis=0) can be corpus-sized (a stopword
+    column), so the norm is a ``groupBy`` aggregate (map-side partial
+    combine shrinks the hot group before the shuffle) joined back with AQE
+    skew handling.
     """
     key, _ = _axis_cols(axis)
     v = F.col("value")
+    post = lambda n: n  # applied OUTSIDE the aggregate/window
     if norm == "l1":
         agg = F.sum(F.abs(v))
     elif norm == "l2":
-        agg = F.sqrt(F.sum(v * v))
+        agg = F.sum(v * v)
+        post = F.sqrt
     elif norm == "max":
         agg = F.max(v)
     else:
         raise ValueError(f"norm must be l1|l2|max, got {norm!r}")
-    norms = m.groupBy(key).agg(agg.alias("_norm"))
     if norm == "max":
-        guard = F.col("_norm") > 0.0
+        guard_of = lambda n: n > 0.0
     else:
-        guard = F.col("_norm") != 0.0
-    scaled = F.when(guard, v / F.col("_norm")).otherwise(v)
+        guard_of = lambda n: n != 0.0
+    if axis == 1:
+        denom = post(agg.over(Window.partitionBy(key)))
+        return m.withColumn(
+            "value", F.when(guard_of(denom), v / denom).otherwise(v)
+        )
+    norms = m.groupBy(key).agg(post(agg).alias("_norm"))
+    scaled = F.when(guard_of(F.col("_norm")), v / F.col("_norm")).otherwise(v)
     return m.join(norms, key).withColumn("value", scaled).select(*m.columns)
 
 
@@ -120,21 +135,22 @@ def _with_doc_term_stats(m: DataFrame, axis: int, n_rows: int | None):
     """Attach per-doc (doc_len) and per-term (df) stats plus global scalars
     (n_docs, avgdl) to every cell.
 
-    Stats are ``groupBy`` aggregates joined back (partial/map-side combine +
-    AQE-convertible joins), NOT window aggregates: a window partitioned by
-    the term key puts a stopword's entire posting list in one task and is
-    excluded from AQE skew splitting — the aggregate+join shape (the same
-    one the fulltext path uses, fulltext/weights.py) gets both map-side
-    combine and runtime skew handling. The term-stats join is left unhinted
-    so AQE broadcast-converts it when the vocabulary is small and falls back
-    to a shuffle join when it isn't (web-scale vocabularies don't fit in a
-    broadcast)."""
+    Term stats (``_df``) are a ``groupBy`` aggregate joined back
+    (partial/map-side combine + AQE-convertible, skew-splittable join), NOT
+    a window: a window partitioned by the term key puts a stopword's entire
+    posting list in one task and is excluded from AQE skew splitting — the
+    aggregate+join shape (the same one the fulltext path uses,
+    fulltext/weights.py) gets both map-side combine and runtime skew
+    handling. The join is left unhinted so AQE broadcast-converts it when
+    the vocabulary is small (web-scale vocabularies don't fit a broadcast).
+
+    Doc stats (``_dl``) use a window for the default orientation (axis=1):
+    row groups are document-length-bounded so the window is skew-safe and
+    one exchange cheaper; for axis=0 the "doc" key is a column — corpus-
+    sized groups — so the aggregate+join shape is used there too."""
     doc_key, term_key = _axis_cols(axis)
     v = F.col("value")
 
-    doc_stats = m.groupBy(doc_key).agg(
-        F.sum(v).alias("_dl")  # normalization.pyx:311-312: sum of values
-    )
     term_stats = (
         m.filter(v > 0)  # normalization.pyx:313-314: strictly positive only
         .groupBy(term_key)
@@ -148,12 +164,19 @@ def _with_doc_term_stats(m: DataFrame, axis: int, n_rows: int | None):
             "_n_docs", F.lit(float(n_rows))
         )
     else:
-        totals = doc_stats.agg(
-            F.sum("_dl").alias("_total_mass"),
-            F.count("*").cast("double").alias("_n_docs"),
+        totals = m.agg(
+            F.sum("value").alias("_total_mass"),
+            F.countDistinct(doc_key).cast("double").alias("_n_docs"),
         )
+    if axis == 1:
+        cells = m.withColumn(
+            "_dl", F.sum(v).over(Window.partitionBy(doc_key))
+        )  # normalization.pyx:311-312: sum of values
+    else:
+        doc_stats = m.groupBy(doc_key).agg(F.sum(v).alias("_dl"))
+        cells = m.join(doc_stats, doc_key)
     cells = (
-        m.join(doc_stats, doc_key)
+        cells
         # left join + coalesce: a term whose values are all <= 0 has no
         # term_stats row; the kernel keeps df=0 for it (normalization.pyx:313)
         .join(term_stats, term_key, "left")

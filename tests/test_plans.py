@@ -86,14 +86,20 @@ def test_s_plus_exchange_budget(spark, li_matrix):
     assert n <= 8, f"exchange count grew to {n}:\n{physical_plan(out)}"
 
 
-def test_matrix_weighting_has_no_window_operator(spark, li_matrix):
-    """tfidf/bm25/normalize on the matrix path compute group stats as
-    groupBy aggregates joined back, never as window aggregates: a window
-    partitioned by the term key is excluded from AQE skew splitting and
-    serializes a stopword's postings through one task."""
+def test_matrix_weighting_skew_safe_plan_shapes(spark, li_matrix):
+    """tfidf/bm25/normalize never window-partition by a corpus-sized key:
+    term stats are groupBy aggregates joined back (map-side combine + AQE
+    skew splitting); the only window allowed is the doc-length one over the
+    row key (document-length-bounded groups), and axis=0 plans — where the
+    doc key is a column — contain no Window operator at all."""
+    import re as _re
+
+    for df in (sps.bm25(li_matrix), sps.tfidf(li_matrix)):
+        specs = _re.findall(r"windowspecdefinition\((\w+)#", physical_plan(df))
+        assert set(specs) <= {"row"}, specs
     for df in (
-        sps.bm25(li_matrix),
-        sps.tfidf(li_matrix),
+        sps.bm25(li_matrix, axis=0),
+        sps.tfidf(li_matrix, axis=0),
         sps.normalize(li_matrix, "l2", axis=0),
     ):
         plan = physical_plan(df)
