@@ -5,9 +5,14 @@
 * ``ann_bruteforce_topk``   — exact cosine top-k baseline (the s_plus cosine
   kernel: join on dimension → hash-agg → norms → window top-k).
 * ``ann_lsh_topk``          — random-hyperplane LSH buckets (deterministic
-  sign patterns from an integer-hash plane matrix), exact cosine *within*
-  buckets: the scale path. Recall vs brute force is measured in tests, and
-  multi-probe (``n_tables``) trades cost for recall.
+  sign patterns from an integer-hash plane matrix), exact cosine on the
+  candidate pairs: a scale path. Recall vs brute force is measured in
+  tests, and multi-probe (``n_tables``) trades cost for recall.
+* ``ivf_fit`` / ``ivf_topk`` — inverted-file ANN: k-means coarse quantizer
+  (deterministic hash-bucket init + Lloyd rounds as DataFrame passes),
+  queries probe their n_probe nearest cells, one cogrouped GEMM per cell —
+  per-query fan-out is n_probe, per-task memory one cell; probing every
+  cell degrades gracefully to exact brute force (tested).
 * ``embedding_dedup_pairs`` — near-duplicate vectors (cosine ≥ threshold).
 
 Hyperplane coefficients are ±1 from an explicit integer hash of
@@ -369,3 +374,202 @@ def embedding_dedup_pairs(
             F.col("value").alias("cosine"),
         )
     )
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------------
+
+def ivf_fit(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Coarse quantizer: k-means centroids fit with DataFrame passes.
+
+    Init is deterministic (hash-bucket means: one groupBy over
+    ``xxhash64(id) % k``), then ``iters`` Lloyd rounds — each round is one
+    mapInPandas assignment against the BROADCAST centroid matrix (centroids
+    are aggregates: k×dim floats, inherently driver-sized) plus one groupBy
+    mean. Returns a NumPy (k, dim) float64 array of centroids.
+
+    Scale: every pass is one scan + one tiny aggregate; no pairwise work.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    dim = len(base.select("v").first()["v"])
+
+    def _mean_by(df, key_col):
+        sums = df.select(
+            key_col.alias("cid"),
+            *[F.col("v")[i].cast("double").alias(f"_d{i}") for i in range(dim)],
+        ).groupBy("cid").agg(
+            *[F.avg(f"_d{i}").alias(f"_d{i}") for i in range(dim)]
+        )
+        rows = sums.collect()
+        cents = np.zeros((n_centroids, dim))
+        seen = np.zeros(n_centroids, bool)
+        for r in rows:
+            cents[int(r["cid"]) % n_centroids] = [r[f"_d{i}"] for i in range(dim)]
+            seen[int(r["cid"]) % n_centroids] = True
+        # empty cells keep a far-away sentinel so nothing assigns to them
+        cents[~seen] = 1e9
+        return cents
+
+    cents = _mean_by(base, F.pmod(F.xxhash64("id"), F.lit(n_centroids)))
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cid", T.IntegerType(), False),
+        ]
+    )
+    for _ in range(iters):
+        bc = emb.sparkSession.sparkContext.broadcast(cents)
+
+        def assign(batches):
+            import pandas as pd
+
+            C = bc.value
+            cn = np.sqrt((C * C).sum(axis=1))
+            cn[cn == 0] = 1.0
+            for b in batches:
+                X = np.array(b["v"].tolist(), dtype=np.float64)
+                xn = np.sqrt((X * X).sum(axis=1))
+                xn[xn == 0] = 1.0
+                # cosine assignment (the search metric) — argmax similarity
+                S = (X @ C.T) / np.outer(xn, cn)
+                yield pd.DataFrame(
+                    {
+                        "id": b["id"].to_numpy(np.int64),
+                        "cid": S.argmax(axis=1).astype(np.int32),
+                    }
+                )
+
+        assigned = base.mapInPandas(assign, schema=schema)
+        cents = _mean_by(base.join(assigned, "id"), F.col("cid"))
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: index vectors live in their nearest
+    centroid's cell; each query probes its ``n_probe`` nearest cells; one
+    cogrouped GEMM per cell scores queries-of-cell × members-of-cell
+    (exact within the probed cells), then a relational top-k merges cells.
+
+    Per-query fan-out is n_probe (not n_cells, not n_shards); per-task
+    memory is one cell + its probing queries. recall@k rises with n_probe
+    (tested vs brute force); n_probe = n_centroids degrades gracefully to
+    exact brute force.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = ivf_fit(emb, n_centroids, iters, id_col, vec_col)
+    n_centroids = len(centroids)
+    bc = emb.sparkSession.sparkContext.broadcast(centroids)
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+
+    def assign_n(n_assign):
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("v", base.schema["v"].dataType, False),
+                T.StructField("cid", T.IntegerType(), False),
+            ]
+        )
+
+        def fn(batches):
+            C = bc.value
+            cn = np.sqrt((C * C).sum(axis=1))
+            cn[cn == 0] = 1.0
+            for b in batches:
+                X = np.array(b["v"].tolist(), dtype=np.float64)
+                xn = np.sqrt((X * X).sum(axis=1))
+                xn[xn == 0] = 1.0
+                S = (X @ C.T) / np.outer(xn, cn)
+                nn = min(n_assign, S.shape[1])
+                top = np.argpartition(-S, nn - 1, axis=1)[:, :nn]
+                ids = np.repeat(b["id"].to_numpy(np.int64), nn)
+                vs = b["v"].iloc[np.repeat(np.arange(len(b)), nn)]
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "v": vs.to_numpy(),
+                        "cid": top.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return base.mapInPandas(fn, schema=schema)
+
+    members = assign_n(1).select(
+        F.col("id").alias("iid"), F.col("v").alias("iv"), "cid"
+    )
+    probes = assign_n(n_probe).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), "cid"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("row", T.LongType(), False),
+            T.StructField("col", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"row": [], "col": [], "value": []}).astype(
+                {"row": "int64", "col": "int64", "value": "float64"}
+            )
+        q_ids = left["qid"].to_numpy(np.int64)
+        Q = np.array(left["qv"].tolist(), dtype=np.float64)
+        b_ids = right["iid"].to_numpy(np.int64)
+        E = np.array(right["iv"].tolist(), dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qn[qn == 0] = 1.0
+        bn = np.sqrt((E * E).sum(axis=1))
+        bn[bn == 0] = 1.0
+        S = (Q @ E.T) / np.outer(qn, bn)
+        order = np.argsort(b_ids)
+        pos = np.clip(np.searchsorted(b_ids[order], q_ids), 0, len(b_ids) - 1)
+        hit = b_ids[order][pos] == q_ids
+        S[np.arange(len(q_ids))[hit], order[pos[hit]]] = -np.inf
+        kk = min(k, S.shape[1])
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        kth = S[np.arange(len(q_ids))[:, None], part].min(axis=1)
+        cand = S >= kth[:, None]
+        ri, ci = np.nonzero(cand)
+        vals = S[ri, ci]
+        keepm = np.isfinite(vals)
+        return pd.DataFrame(
+            {"row": q_ids[ri[keepm]], "col": b_ids[ci[keepm]],
+             "value": vals[keepm]}
+        )
+
+    cells = (
+        probes.groupBy("cid")
+        .cogroup(members.groupBy("cid"))
+        .applyInPandas(score_cell, schema=out_schema)
+    )
+    return top_k(cells.groupBy("row", "col").agg(F.max("value").alias("value")), k)

@@ -408,3 +408,31 @@ def test_decode_png_end_to_end(spark):
     out = multimodal.extract_features(media, mode="decode").collect()
     f = np.array(out[0]["feature"])
     np.testing.assert_allclose(f, 77 / 255.0, rtol=1e-6)
+
+
+def test_ivf_topk_recall_and_exact_at_full_probe(spark, embeddings):
+    """IVF: recall rises with n_probe; probing every cell degrades
+    gracefully to exact brute force (same neighbor sets)."""
+    exact = ann.ann_bruteforce_topk(embeddings, k=5).toPandas()
+    e = exact.groupby("row")["col"].apply(set)
+
+    # unclustered random embeddings are the WORST case for a coarse
+    # quantizer; recall still climbs with n_probe
+    r_by_probe = {}
+    for n_probe in (4, 8):
+        approx = ann.ivf_topk(
+            embeddings, k=5, n_centroids=16, n_probe=n_probe, iters=3
+        ).toPandas()
+        a = approx.groupby("row")["col"].apply(set)
+        r_by_probe[n_probe] = np.mean(
+            [len(e[r] & a.get(r, set())) / len(e[r]) for r in e.index]
+        )
+    assert r_by_probe[4] > 0.5, r_by_probe
+    assert r_by_probe[8] > r_by_probe[4] and r_by_probe[8] > 0.7, r_by_probe
+
+    full = ann.ivf_topk(
+        embeddings, k=5, n_centroids=16, n_probe=16, iters=3
+    ).toPandas()
+    f = full.groupby("row")["col"].apply(set)
+    full_recalls = [len(e[r] & f.get(r, set())) / len(e[r]) for r in e.index]
+    assert np.mean(full_recalls) > 0.999, np.mean(full_recalls)
