@@ -673,6 +673,8 @@ def _q_token_stats(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        F.col("n_subword_est").cast("long").alias("n_subword_est"),
         _r6("avg_token_len").alias("avg_token_len"),
         _r6("uniq_ratio").alias("uniq_ratio"),
     )
@@ -689,15 +691,19 @@ WITH toks AS (
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(COUNT(DISTINCT term) AS BIGINT) AS n_uniq,
-           SUM(CAST(LENGTH(term) AS DOUBLE)) AS tot_len
+           SUM(CAST(LENGTH(term) AS DOUBLE)) AS tot_len,
+           CAST(SUM((LENGTH(term) + 3) // 4) AS BIGINT) AS n_sub_tok
     FROM toks GROUP BY 1),
   ws AS (
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
-             AS n_ws_tokens
+             AS n_ws_tokens,
+           CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9[:space:]]', '', 'g')) AS BIGINT)
+             AS n_punct
     FROM documents)
-SELECT a.doc_id, a.n_tokens, w.n_ws_tokens, w.n_chars,
+SELECT a.doc_id, a.n_tokens, w.n_ws_tokens, w.n_chars, w.n_punct,
+       a.n_sub_tok + w.n_punct AS n_subword_est,
        FLOOR((a.tot_len / GREATEST(a.n_tokens, 1)) * 1000000 + 0.5) / 1000000 AS avg_token_len,
        FLOOR((CAST(a.n_uniq AS DOUBLE) / GREATEST(a.n_tokens, 1)) * 1000000 + 0.5) / 1000000 AS uniq_ratio
 FROM agg a JOIN ws w ON a.doc_id = w.doc_id

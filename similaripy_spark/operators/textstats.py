@@ -36,14 +36,31 @@ STOPWORDS = {
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token statistics: regex tokens, whitespace tokens, chars,
-    avg token length, distinct-token ratio."""
+    avg token length, distinct-token ratio, plus a BPE-ish subword-count
+    estimate: Σ ceil(len(token)/4) + punctuation marks — the public ~4
+    chars/subword rule of thumb, integer-exact (engine-independent)."""
     toks = tokenize_expr(F.col(text_col))
     ws = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+    subword = (
+        F.aggregate(
+            F.transform(
+                toks, lambda t: ((F.length(t) + F.lit(3)) / 4).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        + punct
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_tokens"),
         F.size(ws).alias("n_ws_tokens"),
         F.length(text_col).alias("n_chars"),
+        punct.alias("n_punct"),
+        subword.alias("n_subword_est"),
         (
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t).cast("double")),
