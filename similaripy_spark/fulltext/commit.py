@@ -63,6 +63,10 @@ class CommitProtocol:
         replacing any previous committed version."""
         raise NotImplementedError
 
+    def discard(self, staged_path: str) -> None:
+        """Drop leftover staged scratch (idempotent; missing path is fine)."""
+        raise NotImplementedError
+
 
 class LocalFSCommitProtocol(CommitProtocol):
     """POSIX implementation: temp + rename. Suffix-based staging keeps the
@@ -112,3 +116,7 @@ class LocalFSCommitProtocol(CommitProtocol):
         if os.path.isdir(final_path):
             shutil.rmtree(final_path)  # replace previous committed version
         os.replace(staged_path, final_path)
+
+    def discard(self, staged_path: str) -> None:
+        if os.path.isdir(staged_path):
+            shutil.rmtree(staged_path)

@@ -13,11 +13,24 @@ Layout decisions (the 100 TB argument):
   (term, doc_id)`` then one Arrow-batched pass builds docID-sorted,
   delta+varint posting blocks (128 entries) with per-block
   ``(max_doc, max_score)`` — the Block-Max metadata (Ding & Suel 2011).
-* **Checkpoint/resume**: shards are processed in ``n_groups`` commit units;
-  each unit writes its segment parquet to a temp dir, renames it into place,
-  then writes a lineage manifest (write-then-commit). A re-run anti-joins
+* **Checkpoint/resume**: shards map to ``n_groups`` commit units. ALL pending
+  units are produced by ONE Spark job (``partitionBy(group)`` into a staging
+  dir), then each unit is published independently (rename + lineage
+  manifest, write-then-commit). Commit granularity stays per-group — a crash
+  between publishes resumes from the committed set — but the compute is a
+  single job: round 2 ran one job per group and the serial per-job fixed
+  costs (scheduling, stage barriers, Python-worker spinup) dominated the
+  build at every cluster size and sank the N→4N scaling pair (BENCH_r02
+  fresh build efficiency 0.499; VERDICT r3 item 1). A re-run anti-joins
   pending groups against committed manifests and recomputes only the rest —
   FIXTURES.md §6 semantics.
+* **Stats in one pass**: per-doc lengths are one combiner-friendly
+  ``groupBy(doc_id)`` whose write carries an ``Observation`` that yields the
+  corpus scalars (n_docs, Σdl, max shard) for free; term stats are derived
+  AFTER the segment commit from block metadata (Σn, max/min of block
+  max/min_score — a scan of blocks, ~1/128th of the postings), so the
+  weighted postings relation is materialized exactly once, inside the
+  segment job itself.
 * Weights are float32 (reference compute dtype, s_plus.pyx:237-238); docIDs
   int64 end-to-end.
 
@@ -188,7 +201,6 @@ class IndexBuilder:
         shard_size: int | str = 1 << 14,
         n_groups: int = 8,
         lang: str | None = None,
-        group_concurrency: int = 1,
         commit: CommitProtocol | None = None,
     ):
         #: all artifact publishes go through the commit protocol — the
@@ -201,7 +213,6 @@ class IndexBuilder:
         self.shard_size = shard_size
         self.n_groups = n_groups
         self.lang = lang
-        self.group_concurrency = group_concurrency
 
     # --- lineage helpers --------------------------------------------------
     def _lineage_path(self, group: int) -> str:
@@ -249,168 +260,268 @@ class IndexBuilder:
         n_docs: int | None = None,
     ) -> dict:
         """Build from a postings relation (doc_id, term, tf, dl) — also the
-        re-weighting entry for incremental merges (index_merge.py)."""
+        re-weighting entry for incremental merges (index_merge.py).
+
+        Job structure (exactly three Spark jobs on a fresh build):
+
+        1. doc_stats: ``groupBy(doc_id)`` (map-side combinable) written to
+           parquet, with corpus scalars observed on the same action;
+        2. segments: the one big job — postings ⋈ term-df (unhinted; AQE
+           broadcast-converts when small), weight expression with the corpus
+           scalars as literals, repartition(shard, term-salt) → sort →
+           Arrow encode → ``partitionBy(group)`` staged write; every pending
+           group then publishes independently (rename + lineage manifest);
+        3. term_stats: Σn / max / min over committed block metadata.
+        """
         spark = postings.sparkSession
         self.commit.ensure_dir(os.path.join(self.index_dir, "lineage"))
         self.commit.ensure_dir(os.path.join(self.index_dir, "segments"))
+        meta_path = os.path.join(self.index_dir, "meta.json")
+        run_id = uuid.uuid4().hex[:12]
+
+        postings = postings.persist()
+        try:
+            if not resume or not self.commit.exists(meta_path):
+                meta = self._build_stats(postings, n_docs, run_id)
+            else:
+                meta = self.commit.read_json(meta_path)
+                self.shard_size = int(meta["shard_size"])
+            n_shards = int(meta["n_shards"])
+
+            done = self.committed_groups() if resume else set()
+            pending = [g for g in range(self.n_groups) if g not in done]
+            if pending:
+                weighted = bm25_weights(
+                    postings,
+                    k1=self.k1,
+                    b=self.b,
+                    n_docs=int(meta["n_docs"]),
+                    avgdl=float(meta["avgdl"]),
+                ).withColumn(
+                    "shard", (F.col("doc_id") / self.shard_size).cast("int")
+                )
+                if fail_after_groups is not None:
+                    # deterministic sequential mode for the crash-injection
+                    # test (FIXTURES.md §6) — one commit unit per job
+                    n_committed = 0
+                    for g in pending:
+                        self._build_group_single(
+                            weighted, g, n_shards, run_id
+                        )
+                        n_committed += 1
+                        if n_committed >= fail_after_groups:
+                            raise RuntimeError(
+                                f"injected failure after {n_committed} groups"
+                            )
+                else:
+                    self._build_groups_batched(
+                        weighted, pending, n_shards, run_id
+                    )
+            # term stats from block metadata once every group is committed
+            # (idempotent: recomputed whenever this run added groups)
+            ts_path = os.path.join(self.index_dir, "term_stats")
+            if len(self.committed_groups()) == self.n_groups and (
+                pending or not self.commit.exists(ts_path)
+            ):
+                self._write_term_stats(spark)
+            return meta
+        finally:
+            postings.unpersist()
+
+    def _build_stats(self, postings: DataFrame, n_docs: int | None,
+                     run_id: str) -> dict:
+        """Job 1: doc_stats parquet + corpus scalars (observed on the same
+        action) + meta.json. The reference's N is the declared matrix shape
+        incl. empty docs (normalization.pyx:315, 323) — pass ``n_docs`` to
+        pin it; else the distinct doc count in the postings is used."""
+        from pyspark.sql import Observation
 
         if self.shard_size == "auto":
             # one cheap max() action; doc ids are dense-ish by contract
             hi = postings.agg(F.max("doc_id").alias("m")).first()["m"] or 0
             self.shard_size = derive_shard_size(int(hi) + 1)
-        weighted = bm25_weights(
-            postings, k1=self.k1, b=self.b, n_docs=n_docs
-        ).withColumn(
-            "shard", (F.col("doc_id") / self.shard_size).cast("int")
+        ds = (
+            postings.groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .withColumn("shard", (F.col("doc_id") / self.shard_size).cast("int"))
         )
-        # weighted postings are recomputed per group job below; cache the
-        # moderately-sized weighted relation across group jobs
-        weighted = weighted.persist()
-
-        # global stats for meta.json + term stats (built once, idempotent)
-        meta_path = os.path.join(self.index_dir, "meta.json")
-        ts_path = os.path.join(self.index_dir, "term_stats")
-        run_id = uuid.uuid4().hex[:12]
-        if not self.commit.exists(meta_path) or not resume:
-            corpus = weighted.agg(
-                F.countDistinct("doc_id").alias("n_docs"),
-                (F.sum(F.col("tf").cast("double")) / F.countDistinct("doc_id")).alias("avgdl"),
+        obs = Observation("corpus")
+        ds_path = os.path.join(self.index_dir, "doc_stats")
+        ds_tmp = self.commit.stage_path(ds_path)
+        (
+            ds.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_seen"),
+                F.sum(F.col("dl").cast("double")).alias("sum_dl"),
                 F.max("shard").alias("max_shard"),
-            ).first()
-            meta = {
-                "version": 1,
-                "run_id": run_id,
-                "n_docs": corpus["n_docs"],
-                "avgdl": corpus["avgdl"],
-                "n_shards": int(corpus["max_shard"]) + 1,
-                "shard_size": self.shard_size,
-                "block_size": self.block_size,
-                "k1": self.k1,
-                "b": self.b,
-                "n_groups": self.n_groups,
-                "lang": self.lang,
-            }
-            self.commit.publish_json(meta_path, meta)
-            ts_tmp = self.commit.stage_path(ts_path)
-            (
-                weighted.groupBy("term")
-                .agg(
-                    F.count("*").alias("df"),
-                    F.max("weight").cast("float").alias("max_weight"),
-                    F.min("weight").cast("float").alias("min_weight"),
-                )
-                .coalesce(4)
-                .write.mode("overwrite")
-                .parquet(ts_tmp)
             )
-            self.commit.commit_dir(ts_tmp, ts_path)
-            # per-doc lengths (the BM25 "norms" table) — required to
-            # re-weight after incremental merges
-            ds_path = os.path.join(self.index_dir, "doc_stats")
-            ds_tmp = self.commit.stage_path(ds_path)
-            (
-                weighted.select("doc_id", "dl", "shard")
-                .distinct()
-                .write.mode("overwrite")
-                .parquet(ds_tmp)
-            )
-            self.commit.commit_dir(ds_tmp, ds_path)
-        else:
-            meta = self.commit.read_json(meta_path)
-        self._n_shards_hint = int(meta.get("n_shards", 0))
+            .write.mode("overwrite")
+            .parquet(ds_tmp)
+        )
+        self.commit.commit_dir(ds_tmp, ds_path)
+        m = obs.get
+        N = int(n_docs) if n_docs is not None else int(m["n_seen"] or 0)
+        meta = {
+            "version": 1,
+            "run_id": run_id,
+            "n_docs": N,
+            "avgdl": float(m["sum_dl"] or 0.0) / max(N, 1),
+            "n_shards": int(m["max_shard"] or 0) + 1,
+            "shard_size": self.shard_size,
+            "block_size": self.block_size,
+            "k1": self.k1,
+            "b": self.b,
+            "n_groups": self.n_groups,
+            "lang": self.lang,
+        }
+        self.commit.publish_json(
+            os.path.join(self.index_dir, "meta.json"), meta
+        )
+        return meta
 
-        done = self.committed_groups() if resume else set()
+    def _segment_plan(self, weighted: DataFrame, n_shards_in: int):
+        """repartition(shard, term-salt) → sort → Arrow block encode.
+
+        Over-provisioned hash partitioning: hashing S dense shard ids into S
+        partitions leaves ~37% empty and 3-4-shard stragglers (balls-in-bins
+        max load caps wall time); 4× partitions makes collisions rare without
+        a range-partitioner sampling job. Sub-shard balance comes from also
+        hashing a term salt."""
         bs = self.block_size
+        n_parts = max(
+            4 * max(n_shards_in, 1),
+            weighted.sparkSession.sparkContext.defaultParallelism,
+            8,
+        )
+        return (
+            weighted.repartition(
+                n_parts, F.col("shard"), F.crc32(F.col("term")) % 4
+            )
+            .sortWithinPartitions("shard", "term", "doc_id")
+            .mapInPandas(
+                lambda it, bs=bs: _encode_partition(it, bs),
+                schema=SEGMENT_SCHEMA,
+            )
+        )
 
-        def build_group(g: int) -> None:
-            t0 = time.monotonic()
-            part = weighted.filter(F.col("shard") % self.n_groups == g)
-            # Over-provisioned hash partitioning: hashing S dense shard ids
-            # into S partitions leaves ~37% empty and 3-4-shard stragglers
-            # (the balls-in-bins max load caps wall time); 4× partitions
-            # makes collisions rare without a range-partitioner sampling
-            # job. Sub-shard balance comes from also hashing a term salt.
-            shards_in_group = max(
-                (getattr(self, "_n_shards_hint", 0) + self.n_groups - 1)
-                // self.n_groups,
-                1,
-            )
-            n_parts = max(
-                4 * shards_in_group,
-                weighted.sparkSession.sparkContext.defaultParallelism,
-                8,
-            )
-            seg = (
-                part.repartition(
-                    n_parts, F.col("shard"), F.crc32(F.col("term")) % 4
-                )
-                .sortWithinPartitions("shard", "term", "doc_id")
-                .mapInPandas(
-                    lambda it, bs=bs: _encode_partition(it, bs),
-                    schema=SEGMENT_SCHEMA,
-                )
-            )
-            gdir = os.path.join(self.index_dir, "segments", f"group={g}")
-            gtmp = self.commit.stage_path(gdir)
-            seg.write.mode("overwrite").parquet(gtmp)
-            # group stats from parquet footers + one tiny column read,
-            # driver-side — a Spark job here costs ~1 s of scheduling per
-            # group, which is pure serial overhead at every cluster size
-            import pyarrow.dataset as pads
+    def _group_footer_stats(self, gdir: str) -> tuple[int, int, int]:
+        """(blocks, postings, bytes) from parquet footers + one tiny column
+        read, driver-side — a Spark job here costs ~1 s of scheduling per
+        group, pure serial overhead at every cluster size."""
+        import pyarrow.dataset as pads
 
-            ds = pads.dataset(gtmp, format="parquet")
-            blocks = ds.count_rows()
-            postings = 0
-            for batch in ds.to_batches(columns=["n"]):
-                postings += int(
-                    np.asarray(batch.column("n")).sum()
-                ) if batch.num_rows else 0
-            disk_bytes = sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(gtmp)
-                for f in fs
-            )
-            self.commit.commit_dir(gtmp, gdir)
-            rec = {
+        if not os.path.isdir(gdir):
+            return 0, 0, 0
+        ds = pads.dataset(gdir, format="parquet")
+        blocks = ds.count_rows()
+        postings = 0
+        for batch in ds.to_batches(columns=["n"]):
+            if batch.num_rows:
+                postings += int(np.asarray(batch.column("n")).sum())
+        disk_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(gdir)
+            for f in fs
+        )
+        return int(blocks), int(postings), int(disk_bytes)
+
+    def _publish_lineage(self, g: int, run_id: str, blocks: int,
+                         postings: int, disk_bytes: int, wall_ms: int) -> None:
+        self.commit.publish_json(
+            self._lineage_path(g),
+            {
                 "stage": "segment_build",
                 "group": g,
                 "status": "done",
                 "run_id": run_id,
-                "blocks": int(blocks),
-                "postings": int(postings),
-                "bytes": int(disk_bytes),
-                "wall_ms": int((time.monotonic() - t0) * 1000),
-            }
-            self.commit.publish_json(self._lineage_path(g), rec)
+                "blocks": blocks,
+                "postings": postings,
+                "bytes": disk_bytes,
+                "wall_ms": wall_ms,
+            },
+        )
 
-        pending = [g for g in range(self.n_groups) if g not in done]
-        try:
-            if fail_after_groups is not None:
-                # deterministic sequential mode for the crash-injection test
-                n_committed = 0
-                for g in pending:
-                    build_group(g)
-                    n_committed += 1
-                    if n_committed >= fail_after_groups:
-                        raise RuntimeError(
-                            f"injected failure after {n_committed} groups"
-                        )
-            elif self.group_concurrency > 1:
-                # opt-in: independent commit units can run as concurrent
-                # Spark jobs — measured to help only when each group job is
-                # too small to fill the cluster alone
-                from concurrent.futures import ThreadPoolExecutor
+    def _build_groups_batched(
+        self, weighted: DataFrame, pending: list[int], n_shards: int,
+        run_id: str,
+    ) -> None:
+        """ONE Spark job for every pending commit unit: stage with
+        ``partitionBy(group)``, then publish each group independently.
+        Lineage wall_ms is the batch wall amortized over the groups it
+        produced (they shared one job)."""
+        t0 = time.monotonic()
+        part = (
+            weighted
+            if len(pending) == self.n_groups
+            else weighted.filter(
+                (F.col("shard") % self.n_groups).isin(pending)
+            )
+        )
+        shards_pending = max(
+            1,
+            -(-n_shards * len(pending) // self.n_groups),
+        )
+        seg = self._segment_plan(part, shards_pending).withColumn(
+            "group", (F.col("shard") % self.n_groups).cast("int")
+        )
+        stage_parent = self.commit.stage_path(
+            os.path.join(self.index_dir, "segments_batch")
+        )
+        seg.write.mode("overwrite").partitionBy("group").parquet(stage_parent)
+        wall_ms = int(
+            (time.monotonic() - t0) * 1000 / max(len(pending), 1)
+        )
+        for g in pending:
+            gsrc = os.path.join(stage_parent, f"group={g}")
+            gdir = os.path.join(self.index_dir, "segments", f"group={g}")
+            blocks, n_postings, disk_bytes = self._group_footer_stats(gsrc)
+            if not os.path.isdir(gsrc):
+                # group with no shards (n_shards < n_groups): publish an
+                # empty-but-committed unit so resume sees it as done
+                self.commit.ensure_dir(gsrc)
+            self.commit.commit_dir(gsrc, gdir)
+            self._publish_lineage(
+                g, run_id, blocks, n_postings, disk_bytes, wall_ms
+            )
+        self.commit.discard(stage_parent)
 
-                with ThreadPoolExecutor(
-                    max_workers=min(self.group_concurrency, max(len(pending), 1))
-                ) as pool:
-                    list(pool.map(build_group, pending))
-            else:
-                for g in pending:
-                    build_group(g)
-        finally:
-            weighted.unpersist()
-        return meta
+    def _build_group_single(
+        self, weighted: DataFrame, g: int, n_shards: int, run_id: str
+    ) -> None:
+        """One commit unit as its own job (crash-injection test path)."""
+        t0 = time.monotonic()
+        part = weighted.filter(F.col("shard") % self.n_groups == g)
+        shards_in_group = max(-(-n_shards // self.n_groups), 1)
+        seg = self._segment_plan(part, shards_in_group)
+        gdir = os.path.join(self.index_dir, "segments", f"group={g}")
+        gtmp = self.commit.stage_path(gdir)
+        seg.write.mode("overwrite").parquet(gtmp)
+        blocks, n_postings, disk_bytes = self._group_footer_stats(gtmp)
+        self.commit.commit_dir(gtmp, gdir)
+        self._publish_lineage(
+            g, run_id, blocks, n_postings, disk_bytes,
+            int((time.monotonic() - t0) * 1000),
+        )
+
+    def _write_term_stats(self, spark: SparkSession) -> None:
+        """Job 3: (term, df, max_weight, min_weight) from block metadata —
+        df = Σn over a term's blocks (every posting appears in exactly one
+        block), max/min from the Block-Max per-block scores. Scans blocks
+        (~postings/block_size rows), never the postings."""
+        ts_path = os.path.join(self.index_dir, "term_stats")
+        seg = read_segments(spark, self.index_dir)
+        ts = (
+            seg.groupBy("term")
+            .agg(
+                F.sum("n").cast("long").alias("df"),
+                F.max("max_score").alias("max_weight"),
+                F.min("min_score").alias("min_weight"),
+            )
+            .coalesce(4)
+        )
+        ts_tmp = self.commit.stage_path(ts_path)
+        ts.write.mode("overwrite").parquet(ts_tmp)
+        self.commit.commit_dir(ts_tmp, ts_path)
 
 
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:

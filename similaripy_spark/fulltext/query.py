@@ -17,9 +17,13 @@ s_plus defaults), retrieval keeps negative BM25 scores: a top-10 over a
 corpus where every query term is a stopword must still return 10 docs.
 Pass ``threshold=0.0`` to reproduce the reference composition exactly.
 
-Scale: queries are tiny next to the index → broadcast the exploded query
-terms; the postings side is term-partitioned parquet so the join prunes to
-exactly the touched terms (predicate pushdown on ``term``).
+Scale: the exploded query-term side is usually tiny next to the index, but a
+production query BATCH can be arbitrarily large — the join is therefore left
+UNHINTED so AQE broadcast-converts it only when the measured size is small
+(plan-pinned in tests/test_plans.py) and falls back to a shuffle join
+otherwise (VERDICT r2 finding 1). The postings side is term-partitioned
+parquet so the join prunes to exactly the touched terms (predicate pushdown
+on ``term``).
 """
 
 from __future__ import annotations
@@ -62,8 +66,7 @@ def bm25_topk(
             F.col("tw.weights").cast("double").alias("qw"),
         )
         scores = (
-            F.broadcast(qterms)
-            .join(weighted_postings, "term")
+            qterms.join(weighted_postings, "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("weight")).alias("score"))
         )
@@ -72,8 +75,7 @@ def bm25_topk(
             "query_id", F.explode("terms").alias("term")
         ).distinct()
         scores = (
-            F.broadcast(qterms)
-            .join(weighted_postings, "term")
+            qterms.join(weighted_postings, "term")
             .groupBy("query_id", "doc_id")
             .agg(F.sum("weight").alias("score"))
         )

@@ -106,20 +106,15 @@ class _ShardIndex:
         )
 
     def _decode_rows(self, rows: np.ndarray):
-        """Bulk-decode arbitrary block rows in one vectorized pass: varints
-        of all blocks are decoded from one concatenated buffer, absolute
-        docIDs restored with a cross-block cumsum-rebase (the first delta of
-        every block is 0 by construction)."""
+        """Bulk-decode arbitrary block rows in one vectorized pass
+        (codec.decode_doc_blocks: one varint decode over the concatenated
+        buffers + cumsum rebase — shared with index_merge.decode_segments)."""
         if len(rows) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         ns = self._n[rows]
-        deltas = codec.decode_varints(
-            b"".join(self._dd[r] for r in rows), int(ns.sum())
-        ).astype(np.int64)
-        cs = np.cumsum(deltas)
-        starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
-        base = self._first[rows] - cs[starts]
-        docs = cs + np.repeat(base, ns)
+        docs = codec.decode_doc_blocks(
+            [self._dd[r] for r in rows], ns, self._first[rows]
+        )
         weights = np.frombuffer(
             b"".join(self._ww[r] for r in rows), dtype=np.float32
         ).astype(np.float64)
@@ -360,7 +355,16 @@ def _score_batch(
     key = all_qi[keep] * n_codes + codes[keep]
     if query_weighted:
         # duplicate (query, term) occurrences ADD their qw mass — exactly
-        # the relational Σ qw·weight semantics (query.py)
+        # the relational Σ qw·weight semantics (query.py). Per-row length
+        # parity is validated here: a mismatch whose totals coincide would
+        # otherwise silently shift qw mass across queries (ADVICE r2)
+        wlens = np.array([len(w) for w in q_pdf["weights"]], np.int64)
+        if not np.array_equal(wlens, qlens):
+            bad = int(np.flatnonzero(wlens != qlens)[0])
+            raise ValueError(
+                f"query_id={qids_all[bad]}: weights length {wlens[bad]} != "
+                f"terms length {qlens[bad]}"
+            )
         all_qw = np.concatenate(
             [np.asarray(w, np.float64) for w in q_pdf["weights"]]
         )
@@ -486,6 +490,11 @@ def segment_topk(
             "query_weighted requires the batch scorer (batch=True); the "
             "MaxScore point path assumes binarized queries"
         )
+    if query_weighted and "weights" not in queries.columns:
+        raise ValueError(
+            "query_weighted=True requires a `weights` array column "
+            "parallel to `terms`"
+        )
     spark = segments.sparkSession
     if shard_ids is None:
         # distinct shard ids are tiny (n_docs / shard_size); collecting
@@ -543,7 +552,7 @@ def term_major_topk(
     queries: DataFrame,
     k: int = 10,
     prune: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     max_pruned_terms: int = 10_000,
 ) -> DataFrame:
     """Point-query path over the term-major merged layout: bucket-pruned scan
@@ -561,8 +570,13 @@ def term_major_topk(
     """
     import os as _os
 
-    from similaripy_spark.fulltext.index_merge import read_merged_for_terms
+    from similaripy_spark.fulltext.index_merge import (
+        merged_n_buckets,
+        read_merged_for_terms,
+    )
 
+    if n_buckets is None:
+        n_buckets = merged_n_buckets(index_dir)
     qterms = queries.select("query_id", F.explode("terms").alias("term"))
     dterms = qterms.select("term").distinct()
     term_rows = dterms.limit(max_pruned_terms + 1).collect()
@@ -605,7 +619,7 @@ def bucket_topk(
     index_dir: str,
     queries: DataFrame,
     k: int = 10,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Mid-size-batch path over the term-major merged layout: one cogroup
     per TERM BUCKET (not per shard, not per query).
@@ -620,6 +634,10 @@ def bucket_topk(
     ``segment_topk`` (replicates the whole batch to every shard: great for
     huge batches). No driver-side term collect anywhere.
     """
+    from similaripy_spark.fulltext.index_merge import merged_n_buckets
+
+    if n_buckets is None:
+        n_buckets = merged_n_buckets(index_dir)
     merged = spark.read.parquet(os.path.join(index_dir, "merged"))
     qterms = (
         queries.select("query_id", F.explode("terms").alias("term"))
@@ -659,12 +677,18 @@ def bucket_topk(
                  "doc_id": pd.Series([], dtype="int64"),
                  "score": pd.Series([], dtype="float64")}
             )
+        # factorize query ids to dense local indices before _accumulate:
+        # its key is q*span + doc_offset with span up to the whole corpus
+        # (merged layout spans all shards), so raw user-assigned int64 ids
+        # would silently wrap the key at billion-doc scale (ADVICE r2)
+        q_raw = np.concatenate(q_parts)
+        q_uniq, q_local = np.unique(q_raw, return_inverse=True)
         uq, ud, partial = _accumulate(
-            np.concatenate(q_parts), np.concatenate(d_parts),
+            q_local.astype(np.int64), np.concatenate(d_parts),
             np.concatenate(w_parts),
         )
         return pd.DataFrame(
-            {"query_id": uq, "doc_id": ud, "score": partial}
+            {"query_id": q_uniq[uq], "doc_id": ud, "score": partial}
         )
 
     partials = (

@@ -6,8 +6,12 @@ relation, structured for scale:
 
 * ``dl`` already rides on every posting (map-side, postings.py) — no doc-side
   shuffle at all;
-* ``term_stats`` (V rows) and the 1-row corpus stats are broadcast — the big
-  postings relation is never shuffled by this stage.
+* ``term_stats`` (V rows) is joined UNHINTED: AQE broadcast-converts it when
+  it is actually small (plan-pinned in tests/test_plans.py), but at web scale
+  the vocabulary of 10^12 Common-Crawl docs is billions of junk terms and a
+  forced broadcast would OOM every executor — the join must be allowed to
+  fall back to a shuffle join. Only the 1-row corpus scalars keep an explicit
+  broadcast (size-independent by construction).
 
 The reference's N is the declared matrix shape incl. empty docs; pass
 ``n_docs`` to pin it (e.g. total pages before language filtering), else the
@@ -34,26 +38,34 @@ def bm25_weights(
     idf_mode: str = "bm25",
     logbase: float = math.e,
     n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """postings(doc_id, term, tf, dl) → + (weight double).
 
     weight = idf * (tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl)) + delta)
+
+    When BOTH ``n_docs`` and ``avgdl`` are given (the index builder already
+    computed them from doc_stats) they become plan literals — no corpus agg,
+    no crossJoin, one less pass over the postings.
     """
     stats = term_stats(postings)
-    if n_docs is None:
-        corpus = corpus_stats(postings, from_postings=True)
+    p = postings.join(stats, "term")
+    if n_docs is not None and avgdl is not None:
+        ndocs_col = F.lit(float(n_docs))
+        avgdl_col = F.lit(float(avgdl))
     else:
-        corpus = postings.agg(
-            (F.sum(F.col("tf").cast("double")) / float(n_docs)).alias("avgdl")
-        ).withColumn("n_docs", F.lit(float(n_docs)))
-
-    p = (
-        postings.join(F.broadcast(stats), "term")
-        .crossJoin(F.broadcast(corpus))
-    )
+        if n_docs is None:
+            corpus = corpus_stats(postings, from_postings=True)
+        else:
+            corpus = postings.agg(
+                (F.sum(F.col("tf").cast("double")) / float(n_docs)).alias("avgdl")
+            ).withColumn("n_docs", F.lit(float(n_docs)))
+        p = p.crossJoin(F.broadcast(corpus))
+        ndocs_col = F.col("n_docs").cast("double")
+        avgdl_col = F.col("avgdl")
     tf_ = tf_expr(F.col("tf").cast("double"), F.col("dl").cast("double"), tf_mode, logbase)
-    idf_ = idf_expr(F.col("df").cast("double"), F.col("n_docs").cast("double"), idf_mode, logbase)
-    norm_dl = (1.0 - b) + b * F.col("dl").cast("double") / F.col("avgdl")
+    idf_ = idf_expr(F.col("df").cast("double"), ndocs_col, idf_mode, logbase)
+    norm_dl = (1.0 - b) + b * F.col("dl").cast("double") / avgdl_col
     weight = idf_ * (tf_ * (k1 + 1.0) / (tf_ + k1 * norm_dl) + delta)
     return p.select(
         "doc_id", "term", "tf", "dl", weight.alias("weight")

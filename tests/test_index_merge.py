@@ -163,3 +163,53 @@ def test_incremental_merge_reweights_globally(spark, tmp_path):
     )
     assert list(got["doc_id"]) == list(expected["doc_id"])
     np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
+
+
+def test_decode_segments_bulk_speedup():
+    """VERDICT r3 item 3's 'done' gate: the shared bulk decoder
+    (codec.decode_doc_blocks) must beat the round-2 per-block itertuples
+    loop by >=5x on a 10k-block segment set, bit-identically."""
+    import time
+
+    from similaripy_spark.fulltext import codec
+
+    rng = np.random.default_rng(7)
+    n_blocks, bs = 10_000, 128
+    ns = rng.integers(1, bs + 1, size=n_blocks).astype(np.int64)
+    dd, firsts = [], np.empty(n_blocks, np.int64)
+    expect_parts = []
+    base = 0
+    for i, n in enumerate(ns):
+        docs = base + np.cumsum(rng.integers(1, 50, size=n))
+        base = int(docs[-1]) + 1
+        firsts[i] = docs[0]
+        deltas = np.concatenate(([0], np.diff(docs)))
+        dd.append(codec.encode_varints(deltas.astype(np.uint64)))
+        expect_parts.append(docs)
+    expect = np.concatenate(expect_parts)
+
+    def per_block_loop():  # the round-2 per-block loop, verbatim shape
+        parts = []
+        for i in range(n_blocks):
+            deltas = codec.decode_varints(dd[i], int(ns[i]))
+            parts.append(codec.delta_decode(deltas, int(firsts[i])))
+        return np.concatenate(parts)
+
+    def best_of(f, n=3):
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = f()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return out, best
+
+    got, bulk_s = best_of(lambda: codec.decode_doc_blocks(dd, ns, firsts))
+    np.testing.assert_array_equal(got, expect)
+    looped, loop_s = best_of(per_block_loop)
+    np.testing.assert_array_equal(looped, expect)
+
+    assert loop_s / bulk_s >= 5.0, (
+        f"bulk decode only {loop_s / bulk_s:.1f}x faster "
+        f"({bulk_s * 1e3:.1f} ms vs {loop_s * 1e3:.1f} ms)"
+    )

@@ -1,0 +1,87 @@
+"""Unified front-end: routing rules + rank/score parity across the routing
+boundary (VERDICT r3 item 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from similaripy_spark.fulltext.index_build import IndexBuilder
+from similaripy_spark.fulltext.index_merge import merge_to_term_major, merged_n_buckets
+from similaripy_spark.fulltext.retrieve import route, topk
+from similaripy_spark.sources.pages import generate_pages, generate_queries_pandas
+
+N_DOCS, VOCAB = 900, 1100
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ridx"))
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    IndexBuilder(d, shard_size=256, n_groups=3).build(pages)
+    merge_to_term_major(spark, d, n_buckets=16)
+    return d
+
+
+def test_route_pure():
+    assert route(5, has_merged=True) == "term_major"
+    assert route(500, has_merged=True) == "bucket"
+    assert route(10_000, has_merged=True) == "segment"
+    # without the merged layout only the segment path exists
+    assert route(5, has_merged=False) == "segment"
+    assert route(500, has_merged=False) == "segment"
+
+
+def test_merged_meta_records_buckets(built):
+    assert merged_n_buckets(built) == 16
+
+
+@pytest.mark.parametrize("n_queries", [8, 200])
+def test_paths_rank_identical(spark, built, n_queries):
+    """Every physical path must return the same ranks and scores — routing
+    is a physical choice, never a semantic one."""
+    queries = spark.createDataFrame(
+        generate_queries_pandas(n_queries, vocab_size=VOCAB)
+    )
+    frames = {
+        p: (
+            topk(spark, built, queries, k=10, path=p)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        for p in ("segment", "bucket", "term_major")
+    }
+    base = frames["segment"]
+    for p in ("bucket", "term_major"):
+        got = frames[p]
+        assert list(got["query_id"]) == list(base["query_id"]), p
+        assert list(got["doc_id"]) == list(base["doc_id"]), p
+        np.testing.assert_allclose(got["score"], base["score"], rtol=1e-4)
+
+
+def test_auto_routing_matches_forced(spark, built):
+    queries = spark.createDataFrame(
+        generate_queries_pandas(6, vocab_size=VOCAB)
+    )
+    auto = (
+        topk(spark, built, queries, k=10)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    forced = (
+        topk(spark, built, queries, k=10, path="term_major")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert auto.equals(forced)
+
+
+def test_missing_merged_rejected(spark, tmp_path):
+    d = str(tmp_path / "nomerge")
+    pages = generate_pages(spark, 300, vocab_size=400)
+    IndexBuilder(d, shard_size=128, n_groups=2).build(pages)
+    queries = spark.createDataFrame(generate_queries_pandas(4, vocab_size=400))
+    # auto-routing silently falls back to the segment path…
+    assert topk(spark, d, queries, k=5).count() > 0
+    # …but an explicit merged-layout path is an error
+    with pytest.raises(ValueError, match="merged layout"):
+        topk(spark, d, queries, k=5, path="bucket")
