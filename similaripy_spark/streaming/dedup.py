@@ -73,7 +73,7 @@ def _first_seen_fn(state_ttl_ms: int):
         rows = pd.concat(list(pdfs), ignore_index=True)
         # deterministic first-seen within the micro-batch: earliest event
         # time, then smallest doc_id
-        rows = rows.sort_values(["event_ts", "doc_id"], kind="mergesort")
+        rows = rows.sort_values(["event_ms", "doc_id"], kind="mergesort")
         if state.exists:
             first_doc, n_dups = state.get
             state.update((int(first_doc), int(n_dups) + len(rows)))
@@ -90,8 +90,13 @@ def _first_seen_fn(state_ttl_ms: int):
             )
         # TTL anchored to EVENT time, not the current watermark: the first
         # micro-batch runs with watermark 0, which would date the timeout
-        # from the epoch and expire all state at the next batch
-        max_event_ms = int(rows["event_ts"].max().timestamp() * 1000)
+        # from the epoch and expire all state at the next batch. The anchor
+        # is the ``event_ms`` TRUE-epoch column computed Spark-side: the
+        # tz-naive pandas timestamp in ``event_ts`` is localized to
+        # spark.sql.session.timeZone, so ``.timestamp()`` on it (which
+        # assumes UTC) would shift the expiry by the TZ offset in any
+        # non-UTC session (ADVICE r2).
+        max_event_ms = int(rows["event_ms"].max())
         state.setTimeoutTimestamp(
             max(state.getCurrentWatermarkMs(), max_event_ms) + state_ttl_ms
         )
@@ -120,7 +125,17 @@ def streaming_dedup_exact(
         )
         .withColumn("event_ts", F.col(ts_col).cast("timestamp"))
         .withWatermark("event_ts", watermark)
-        .select("text_hash", F.col(id_col).alias("doc_id"), "event_ts")
+        .select(
+            "text_hash",
+            F.col(id_col).alias("doc_id"),
+            "event_ts",
+            # true epoch millis (timestamp→double is TZ-independent); the
+            # state fn must never derive epoch from the session-localized
+            # naive timestamp
+            (F.col("event_ts").cast("double") * 1000).cast("long").alias(
+                "event_ms"
+            ),
+        )
     )
     return hashed.groupBy("text_hash").applyInPandasWithState(
         _first_seen_fn(state_ttl_ms),

@@ -16,6 +16,13 @@ Design points:
 * Late/duplicate urls: pages are deduplicated within the batch by
   ``(url, warc_ts)`` keeping the latest ``warc_ts`` — the byte-identical
   text-per-url invariant makes replays harmless.
+* Cross-micro-batch content dedup: the stream passes through
+  ``streaming_dedup_builtin`` (dropDuplicatesWithinWatermark on the content
+  hash — the row-preserving twin of ``streaming_dedup_exact``) BEFORE
+  ``foreachBatch``, so a document whose text already arrived in an earlier
+  micro-batch never enters a delta index at all (bounded state via the
+  ``dedup_watermark``; duplicates separated by more than it are treated as
+  new, the standard windowed contract).
 * BM25 global stats drift across deltas by design; ``compact()`` re-weights
   from merged postings (the correct-by-construction path) — query a delta
   set only through ``compact()`` output.
@@ -48,8 +55,15 @@ def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
 class StreamingIndexer:
     """Incremental indexer over a file-source stream of page parquet drops."""
 
-    def __init__(self, index_root: str, **builder_kwargs):
+    def __init__(
+        self,
+        index_root: str,
+        dedup_watermark: str | None = "1 hour",
+        **builder_kwargs,
+    ):
+        #: dedup_watermark=None disables the cross-batch content dedup
         self.index_root = index_root
+        self.dedup_watermark = dedup_watermark
         self.builder_kwargs = builder_kwargs
         os.makedirs(os.path.join(index_root, "deltas"), exist_ok=True)
 
@@ -87,6 +101,12 @@ class StreamingIndexer:
             .option("maxFilesPerTrigger", 4)
             .parquet(source_dir)
         )
+        if self.dedup_watermark is not None:
+            from similaripy_spark.streaming.dedup import streaming_dedup_builtin
+
+            stream = streaming_dedup_builtin(
+                stream, watermark=self.dedup_watermark
+            ).drop("text_hash", "event_ts")
         writer = stream.writeStream.foreachBatch(self._process_batch).option(
             "checkpointLocation",
             checkpoint_dir or os.path.join(self.index_root, "_checkpoint"),

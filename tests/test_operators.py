@@ -436,3 +436,55 @@ def test_ivf_topk_recall_and_exact_at_full_probe(spark, embeddings):
     f = full.groupby("row")["col"].apply(set)
     full_recalls = [len(e[r] & f.get(r, set())) / len(e[r]) for r in e.index]
     assert np.mean(full_recalls) > 0.999, np.mean(full_recalls)
+
+
+def test_ivf_build_query_parity(spark, embeddings, tmp_path):
+    """Persisted IVF layout (VERDICT r3 item 4): build-once/query-many must
+    match the inline ivf_topk given the same centroids, and the cells scan
+    must be partition-pruned to the probed cids."""
+    d = str(tmp_path / "ivf")
+    cents = ann.ivf_fit(embeddings, n_centroids=16, iters=3)
+    meta = ann.ivf_build(embeddings, d, n_centroids=16, iters=3)
+    assert meta["n_vectors"] == embeddings.count()
+    assert meta["n_centroids"] == len(cents)
+
+    inline = (
+        ann.ivf_topk(embeddings, k=5, n_probe=8, centroids=cents)
+        .toPandas().sort_values(["row", "value"]).reset_index(drop=True)
+    )
+    persisted = (
+        ann.ivf_query(spark, d, embeddings, k=5, n_probe=8)
+        .toPandas().sort_values(["row", "value"]).reset_index(drop=True)
+    )
+    # ivf_fit is deterministic, so centroids (and hence cells/probes) match
+    assert list(inline["row"]) == list(persisted["row"])
+    assert list(inline["col"]) == list(persisted["col"])
+    np.testing.assert_allclose(inline["value"], persisted["value"], rtol=1e-9)
+
+    # query a SUBSET with few probes: the scan must touch only probed cells
+    few = embeddings.limit(3)
+    plan = ann.ivf_query(spark, d, few, k=5, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan  # partition filter present on the cells scan
+
+
+def test_ivf_fit_drops_empty_cells(spark):
+    """ADVICE r2: empty k-means cells must not become all-ones attractors —
+    they are excluded from assignment and dropped from the returned
+    centroids. Non-negative clustered vectors (the adversarial case for the
+    old 1e9 sentinel) must produce only live, finite centroids."""
+    rng = np.random.default_rng(3)
+    # 2 tight non-negative clusters, 40 vectors, ask for 16 centroids
+    base = np.abs(rng.normal(5, 0.1, size=(2, 8)))
+    X = np.repeat(base, 20, axis=0) + rng.normal(0, 0.01, size=(40, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ann.ivf_fit(emb, n_centroids=16, iters=3)
+    assert np.isfinite(cents).all()
+    assert 1 <= len(cents) <= 16
+    # every returned centroid must be near the data (no 1e9 sentinel, no
+    # all-ones direction): cosine to its nearest data vector > 0.99
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assert (Cn @ Xn.T).max(axis=1).min() > 0.99

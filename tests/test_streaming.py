@@ -220,3 +220,46 @@ def test_streaming_dedup_state_expiry_emits_summary(spark, tmp_path):
     assert len(dup_summary) == 1 and dup_summary.iloc[0]["n_dups"] == 1
     firsts = got[got["kind"] == "first"].sort_values("doc_id")
     assert list(firsts["doc_id"]) == [0, 2, 3]
+
+
+def test_streaming_ingest_cross_batch_dedup(spark, tmp_path):
+    """VERDICT r3 item 7's 'done' gate: duplicate text arriving in a LATER
+    micro-batch never enters a delta index — the compacted index contains
+    the content exactly once."""
+    from similaripy_spark.fulltext.index_merge import decode_segments
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, url string, warc_ts string, html binary, "
+            "text string, lang string",
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    rows1 = [
+        (0, "https://a/0", "2026-01-01 00:00:00", b"", "alpha beta gamma", "en"),
+        (1, "https://a/1", "2026-01-01 00:01:00", b"", "delta epsilon", "en"),
+    ]
+    rows2 = [
+        (10, "https://a/10", "2026-01-01 00:10:00", b"", "alpha beta gamma", "en"),
+        (11, "https://a/11", "2026-01-01 00:11:00", b"", "zeta eta theta", "en"),
+    ]
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    root = str(tmp_path / "stream_idx")
+    ing = StreamingIndexer(root, shard_size=64, n_groups=2)
+
+    for name, rows in [("d1", rows1), ("d2", rows2)]:
+        _write_drop(spark, mk(rows), "true", src, name, tmp_path)
+        q = ing.start(spark, src, trigger_once=True)
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+
+    assert len(ing.delta_dirs()) == 2
+    compacted = ing.compact(spark)
+    docs = sorted(
+        r["doc_id"]
+        for r in decode_segments(read_segments(spark, compacted))
+        .select("doc_id").distinct().collect()
+    )
+    # doc 10 (duplicate of doc 0's text, later micro-batch) must be absent
+    assert docs == [0, 1, 11]
