@@ -39,14 +39,30 @@ def _mk_spark(cpus: int):
     )
 
 
+def _stats(samples: list[float]) -> dict:
+    """{best, median, n} — the spread makes environmental storms visible in
+    the artifact instead of argued in prose (VERDICT r3 item 10)."""
+    import statistics
+
+    return {
+        "best": round(min(samples), 3),
+        "median": round(statistics.median(samples), 3),
+        "n": len(samples),
+    }
+
+
 def fulltext_bench(
-    cpus: int, n_docs: int, n_queries: int, vocab: int, repeats: int = 1
+    cpus: int, n_docs: int, n_queries: int, vocab: int, repeats: int = 1,
+    measure_bucket: bool = False,
 ) -> dict:
     """Build + query throughput at a given parallelism; fresh session.
     ``repeats``: run the timed sections N times and report the best —
     single-box interference (page cache, GC, compaction of /tmp) adds tens
     of percent of run-to-run noise, and best-of-N is the standard way to
-    measure capability rather than interference."""
+    measure capability rather than interference. All samples are reported
+    as {best, median, n}. ``measure_bucket`` additionally times the
+    term-major bucket path, pruned (bound-then-refine) vs exhaustive, on a
+    mid-size slice of the query batch."""
     from similaripy_spark.fulltext.index_build import IndexBuilder, read_segments
     from similaripy_spark.fulltext.wand import segment_topk
     from similaripy_spark.sources.pages import (
@@ -63,7 +79,7 @@ def fulltext_bench(
             pages = pages.persist()
             pages.count()
 
-            build_s = None
+            build_samples = []
             for r in range(repeats):
                 idx = os.path.join(d, f"idx{r}")
                 t0 = time.monotonic()
@@ -75,8 +91,8 @@ def fulltext_bench(
                     shard_size=max(n_docs // 64, 512),
                     n_groups=4,
                 ).build(pages)
-                dt = time.monotonic() - t0
-                build_s = dt if build_s is None else min(build_s, dt)
+                build_samples.append(time.monotonic() - t0)
+            build_s = min(build_samples)
 
             queries = spark.createDataFrame(
                 generate_queries_pandas(n_queries, vocab_size=vocab)
@@ -90,14 +106,14 @@ def fulltext_bench(
             # then the measured passes — batch throughput is steady state
             sids = list(range(n_shards))
             segment_topk(seg, queries, k=10, shard_ids=sids).count()
-            query_s = None
+            query_samples = []
             n_out = 0
             for _ in range(repeats):
                 t0 = time.monotonic()
                 n_out = segment_topk(seg, queries, k=10, shard_ids=sids).count()
-                dt = time.monotonic() - t0
-                query_s = dt if query_s is None else min(query_s, dt)
-            return {
+                query_samples.append(time.monotonic() - t0)
+            query_s = min(query_samples)
+            out = {
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "n_queries": n_queries,
@@ -106,9 +122,54 @@ def fulltext_bench(
                 "query_sec": round(query_s, 3),
                 "queries_per_sec": round(n_queries / query_s, 1),
                 "result_rows": n_out,
+                "build_stats": _stats(build_samples),
+                "query_stats": _stats(query_samples),
             }
+            if measure_bucket:
+                out["bucket"] = _bucket_demo(spark, idx, vocab)
+            return out
     finally:
         spark.stop()
+
+
+def _bucket_demo(spark, idx: str, vocab: int) -> dict:
+    """Three-way path comparison on one mid-size batch: segment sweep vs
+    exhaustive bucket vs bound-then-refine bucket. Honest artifact for the
+    routing decision (retrieve.route) and the pruning verdict (bucket_topk
+    docstring): on this Zipf corpus the segment path dominates and pruning
+    is a measured loss — recorded here so the claim is in the bench output,
+    not just prose."""
+    from similaripy_spark.fulltext.index_build import read_meta, read_segments
+    from similaripy_spark.fulltext.index_merge import merge_to_term_major
+    from similaripy_spark.fulltext.wand import bucket_topk, segment_topk
+    from similaripy_spark.sources.pages import generate_queries_pandas
+
+    t0 = time.monotonic()
+    merge_to_term_major(spark, idx, n_buckets=64)
+    merge_s = round(time.monotonic() - t0, 3)
+    nq = int(os.environ.get("BENCH_BUCKET_QUERIES", "500"))
+    queries = spark.createDataFrame(
+        generate_queries_pandas(nq, vocab_size=vocab, seed=77)
+    )
+    seg = read_segments(spark, idx)
+    sids = list(range(read_meta(idx)["n_shards"]))
+    runs = {
+        "segment_sec": lambda: segment_topk(seg, queries, k=10,
+                                            shard_ids=sids),
+        "exhaustive_sec": lambda: bucket_topk(spark, idx, queries, k=10,
+                                              prune=False),
+        "pruned_sec": lambda: bucket_topk(spark, idx, queries, k=10,
+                                          prune=True),
+    }
+    out = {"merge_sec": merge_s, "n_queries": nq}
+    for name, fn in runs.items():
+        samples = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn().write.format("noop").mode("overwrite").save()
+            samples.append(time.monotonic() - t0)
+        out[name] = _stats(samples)
+    return out
 
 
 def headline_queries(cpus: int, sf_dir: str) -> dict[str, float]:
@@ -137,19 +198,19 @@ def headline_queries(cpus: int, sf_dir: str) -> dict[str, float]:
         # noisy-neighbor storms (observed 5-37 s for the SAME query in
         # consecutive runs); a single timing measures the neighbors
         repeats = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
-        out = {}
+        out, detail = {}, {}
         for name in picks:
-            best = None
+            samples = []
             for _ in range(repeats):
                 t0 = time.monotonic()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                dt = round(time.monotonic() - t0, 3)
-                best = dt if best is None else min(best, dt)
-            out[name] = best
+                samples.append(time.monotonic() - t0)
+            out[name] = round(min(samples), 3)
+            detail[name] = _stats(samples)
         out.update(_skew_demo(spark))
-        return out
+        return out, detail
     finally:
         spark.stop()
 
@@ -199,7 +260,11 @@ def main():
         n_queries = int(os.environ.get("BENCH_QUERIES", "10000"))
         vocab = int(os.environ.get("BENCH_VOCAB", "50000"))
         repeats = int(os.environ.get("BENCH_REPEATS", "1"))
-        print(json.dumps(fulltext_bench(cpus, n_docs, n_queries, vocab, repeats)))
+        measure_bucket = os.environ.get("BENCH_BUCKET") == "1"
+        print(json.dumps(fulltext_bench(
+            cpus, n_docs, n_queries, vocab, repeats,
+            measure_bucket=measure_bucket,
+        )))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -207,7 +272,7 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
 
     t_total = time.monotonic()
-    queries = headline_queries(cpus, sf_dir)
+    queries, queries_detail = headline_queries(cpus, sf_dir)
 
     n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
     n_queries = int(os.environ.get("BENCH_QUERIES", "10000"))
@@ -238,9 +303,13 @@ def main():
         line = out.stdout.strip().splitlines()[-1]
         return json.loads(line)
 
+    os.environ["BENCH_BUCKET"] = os.environ.get("BENCH_BUCKET", "1")
     fulltext = run_level(cpus, repeats=int(os.environ.get("BENCH_REPEATS", "2")))
+    os.environ["BENCH_BUCKET"] = "0"  # scaling levels: identical jobs only
     queries["fulltext_build"] = fulltext["build_sec"]
     queries["fulltext_query_batch"] = fulltext["query_sec"]
+    queries_detail["fulltext_build"] = fulltext.get("build_stats")
+    queries_detail["fulltext_query_batch"] = fulltext.get("query_stats")
 
     scaling = None
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
@@ -293,6 +362,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_detail": queries_detail,
                 "sf": sf,
                 "fulltext": fulltext,
                 "scaling": scaling,

@@ -6,11 +6,17 @@ call while s_plus.h picks blocked vs single-pass accumulation internally
 (s_plus.pyx:217-225):
 
 * ``term_major_topk`` — point queries: ships only the queried terms' blocks
-  (partition-pruned merged layout) to a per-query group.
-* ``bucket_topk``     — mid-size batches: per-term-bucket cogroups, fan-out
-  independent of shard count.
-* ``segment_topk``    — large batches: replicate the batch to every doc
-  shard, one vectorized pass per shard amortizes all decodes.
+  (partition-pruned merged layout) to a per-query group — the only path
+  whose I/O is proportional to the QUERY, not the index, so it also wins
+  whenever the index is cold (a 5-term query over a 100-TB index reads a
+  few buckets, not every shard).
+* ``segment_topk``    — everything else: replicate the batch to every doc
+  shard, one vectorized dense-accumulator pass per shard. Measured on the
+  50k-doc Zipf corpus (local[8], cached index) it dominates at every batch
+  size ≥ 50 (1.5-2.0 s flat where the bucket path takes 3.8-36.6 s).
+* ``bucket_topk``     — per-term-bucket cogroups; NOT auto-routed (measured
+  slower than both, see its docstring) but available via ``path='bucket'``
+  for the cold-selective-mid-size niche its layout serves.
 
 ``topk(spark, index_dir, queries)`` routes on the query-batch size and the
 index's own metadata (``meta.json`` for the shard list — no per-call
@@ -34,27 +40,23 @@ from similaripy_spark.fulltext.wand import (
     term_major_topk,
 )
 
-#: batch-size routing cutoffs: below POINT the per-query group cost is
-#: negligible and block shipping is minimal; above BATCH the per-shard
-#: vectorized pass amortizes decode best (measured crossover regions, see
-#: BENCH/BASELINE.md; both overridable per call).
+#: point-batch cutoff: at ≤32 queries the per-query term-major groups cost
+#: about the same as a shard sweep on a WARM index (measured 1.49 vs
+#: 1.58 s at 50 queries) while reading orders of magnitude less on a cold
+#: one; above it the shard sweep's amortized decode wins outright.
 POINT_CUTOFF = 32
-BATCH_CUTOFF = 4096
 
 
 def route(
     n_queries: int,
     has_merged: bool,
     point_cutoff: int = POINT_CUTOFF,
-    batch_cutoff: int = BATCH_CUTOFF,
 ) -> str:
-    """'term_major' | 'bucket' | 'segment' (pure function — unit-tested)."""
-    if not has_merged:
-        return "segment"
-    if n_queries <= point_cutoff:
+    """'term_major' | 'segment' (pure function — unit-tested). The bucket
+    path is deliberately not auto-chosen: measured slower than both
+    neighbors on the Zipf corpus at every batch size tried (wand.py)."""
+    if has_merged and n_queries <= point_cutoff:
         return "term_major"
-    if n_queries <= batch_cutoff:
-        return "bucket"
     return "segment"
 
 
@@ -67,7 +69,6 @@ def topk(
     path: str | None = None,
     query_weighted: bool = False,
     point_cutoff: int = POINT_CUTOFF,
-    batch_cutoff: int = BATCH_CUTOFF,
 ) -> DataFrame:
     """BM25 top-k over a built index; physical path auto-routed.
 
@@ -83,7 +84,7 @@ def topk(
         path = "segment"
     elif path is None:
         n_q = queries.count()
-        path = route(n_q, has_merged, point_cutoff, batch_cutoff)
+        path = route(n_q, has_merged, point_cutoff)
     elif path != "segment" and not has_merged:
         raise ValueError(
             f"path={path!r} needs the term-major merged layout; run "

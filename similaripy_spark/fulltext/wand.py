@@ -272,18 +272,6 @@ def _local_topk(docs, scores, k):
     return docs[order], scores[order]
 
 
-def _accumulate(q_all, d_all, w_all):
-    """(query, doc, w) triples → unique (query, doc) with summed scores."""
-    d_min = int(d_all.min())
-    span = int(d_all.max()) - d_min + 1
-    key = q_all * span + (d_all - d_min)
-    ukey, inv = np.unique(key, return_inverse=True)
-    scores = np.bincount(inv, weights=w_all, minlength=len(ukey))
-    uq = (ukey // span).astype(np.int64)
-    ud = (ukey % span + d_min).astype(np.int64)
-    return uq, ud, scores
-
-
 def _gather_terms(incidence, spans, which):
     """Replicate posting spans per referencing query → (q_idx, gather_idx)."""
     idx_parts, q_parts = [], []
@@ -620,6 +608,7 @@ def bucket_topk(
     queries: DataFrame,
     k: int = 10,
     n_buckets: int | None = None,
+    prune: bool = False,
 ) -> DataFrame:
     """Mid-size-batch path over the term-major merged layout: one cogroup
     per TERM BUCKET (not per shard, not per query).
@@ -633,6 +622,47 @@ def bucket_topk(
     great for point queries, hot blocks duplicated per query) and
     ``segment_topk`` (replicates the whole batch to every shard: great for
     huge batches). No driver-side term collect anywhere.
+
+    MEASURED VERDICT (50k-doc Zipf corpus, local[8], cached index; see
+    ROUND3_NOTES.md): the doc-sharded ``segment_topk`` beats this path at
+    every batch size tried (50→1000 queries: 1.5-2.0 s vs 3.8-36.6 s) —
+    the additive-partials design emits one row per touched (query, doc)
+    pair, so a stopword term referenced by a third of the batch
+    materializes ~df partial rows PER QUERY where the shard scorer emits
+    only per-shard top-k. Bucket remains the right shape only when the
+    whole-index scan of the segment path is the cost that matters (cold,
+    selective access over the partition-pruned merged layout) with batches
+    too big for per-query term-major groups. Auto-routing therefore no
+    longer selects it (retrieve.route); it stays available explicitly.
+
+    ``prune=True`` adds BOUND-THEN-REFINE (exact — ranks AND scores
+    identical to the exhaustive scan, adversarially tested). Also a
+    measured LOSS on this corpus (pruned 4.7-56.6 s vs exhaustive
+    1.3-36.6 s): the unclamped-idf semantics give hot terms large NEGATIVE
+    weights that contribute to every returned score, so correctness makes
+    them essential and unprunable, while the θ/probe phases add two windows
+    and a cogroup of fixed cost; the non-essential mass that remains is the
+    cheap mid-tail. Default is therefore prune=False; the operator, its
+    exactness proof and its tests are kept because the technique pays off
+    in positive-weight regimes (clamped idf / stopword-free vocabularies):
+
+    1. metadata-only lower bound θ_q on the final k-th score: any term t
+       with df ≥ k guarantees k docs scoring ≥ min_weight_t + Σ_{t'≠t}
+       min(0, min_weight_{t'}) (a doc not containing t' gets 0 ≥ lb_{t'});
+       θ_q = the best such guarantee (term_stats only, no decode);
+    2. MaxScore-style essential split (Turtle & Flood 1995): order q's
+       terms by ub = max(0, max_weight) descending; the maximal suffix with
+       Σ ub < θ_q is NON-ESSENTIAL — a doc appearing only there scores
+       < θ_q ≤ k-th final, so it can never enter the top-k (strict, so
+       doc_id tie-breaks cannot flip it);
+    3. only essential postings are decoded + scatter-scored (the expensive
+       phase — on Zipfian corpora the hot stopword terms have small ub and
+       land in the non-essential suffix, which is exactly the work worth
+       skipping);
+    4. refine: per query, θ₂ = k-th best partial+Σlb_ne; candidates (those
+       with partial+Σub_ne ≥ θ₂) have their non-essential terms PROBED —
+       binary-searched in only the posting blocks whose [first_doc,
+       max_doc] range overlaps a candidate — restoring exact totals.
     """
     from similaripy_spark.fulltext.index_merge import merged_n_buckets
 
@@ -644,60 +674,270 @@ def bucket_topk(
         .distinct()
         .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
     )
+    if prune:
+        return _bucket_topk_pruned(
+            spark, index_dir, merged, qterms, k, n_buckets
+        )
     blocks = merged.withColumn(
         "bucket", F.crc32(F.col("term")) % n_buckets
     ).join(qterms.select("term").distinct(), "term", "left_semi")
 
-    def score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
-        if q_pdf.empty or seg_pdf.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "doc_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
-        idx = _ShardIndex(seg_pdf)
-        uterms = list(dict.fromkeys(q_pdf["term"]))
-        docs, weights, spans = idx.decode_terms(uterms)
-        # per term: tile its postings once per query containing it
-        by_term = q_pdf.groupby("term")["query_id"]
-        q_parts, d_parts, w_parts = [], [], []
-        for t, qids in by_term:
-            se = spans.get(t)
-            if se is None:
-                continue
-            s, e = se
-            n = e - s
-            qa = qids.to_numpy(np.int64)
-            q_parts.append(np.repeat(qa, n))
-            d_parts.append(np.tile(docs[s:e], len(qa)))
-            w_parts.append(np.tile(weights[s:e], len(qa)))
-        if not q_parts:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "doc_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
-        # factorize query ids to dense local indices before _accumulate:
-        # its key is q*span + doc_offset with span up to the whole corpus
-        # (merged layout spans all shards), so raw user-assigned int64 ids
-        # would silently wrap the key at billion-doc scale (ADVICE r2)
-        q_raw = np.concatenate(q_parts)
-        q_uniq, q_local = np.unique(q_raw, return_inverse=True)
-        uq, ud, partial = _accumulate(
-            q_local.astype(np.int64), np.concatenate(d_parts),
-            np.concatenate(w_parts),
-        )
-        return pd.DataFrame(
-            {"query_id": q_uniq[uq], "doc_id": ud, "score": partial}
-        )
-
     partials = (
         qterms.groupby("bucket")
         .cogroup(blocks.groupby("bucket"))
-        .applyInPandas(score_bucket, schema=_RESULT_SCHEMA)
+        .applyInPandas(_score_bucket, schema=_RESULT_SCHEMA)
     )
     totals = partials.groupBy("query_id", "doc_id").agg(
         F.sum("score").alias("score")
+    )
+    out = top_k(
+        totals, k, group="query_id", order_value="score", tiebreak="doc_id",
+        keep_rank=True,
+    )
+    return out.select("query_id", "doc_id", "score", "rank")
+
+
+#: dense-accumulator budget for the bucket scorer: bins per chunk
+#: (chunk_queries × distinct docs in bucket); 2^24 float64 bins ≈ 128 MB
+_BUCKET_BINS = 1 << 24
+
+
+def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exhaustive bucket scorer: decode the bucket's query terms ONCE,
+    factorize the bucket's docIDs into a dense local space, then
+    scatter-add every (query, term) pair's posting weights with chunked
+    ``np.bincount`` — the same SPA pattern as ``_score_batch``. The round-2
+    version tiled postings per query and merged with a sort-based
+    ``np.unique`` over int64 keys, ~10× slower per byte on hot buckets
+    (Zipf stopword terms referenced by a third of the batch). Dense-doc
+    factorization also removes the int64 key-wrap hazard of raw corpus
+    spans (ADVICE r2)."""
+    if q_pdf.empty or seg_pdf.empty:
+        return pd.DataFrame(_EMPTY_RESULT)
+    idx = _ShardIndex(seg_pdf)
+    uterms = list(dict.fromkeys(q_pdf["term"]))
+    docs, weights, spans = idx.decode_terms(uterms)
+    if len(docs) == 0:
+        return pd.DataFrame(_EMPTY_RESULT)
+    udocs, dcode = np.unique(docs, return_inverse=True)
+    n_ud = len(udocs)
+
+    # incidence: (local query index, term span) pairs, query-major
+    q_uniq, q_local_all = np.unique(
+        q_pdf["query_id"].to_numpy(np.int64), return_inverse=True
+    )
+    p_q, p_s, p_e = [], [], []
+    for qi, t in zip(q_local_all, q_pdf["term"]):
+        se = spans.get(t)
+        if se is None:
+            continue
+        p_q.append(qi)
+        p_s.append(se[0])
+        p_e.append(se[1])
+    if not p_q:
+        return pd.DataFrame(_EMPTY_RESULT)
+    p_q = np.asarray(p_q, np.int64)
+    p_s = np.asarray(p_s, np.int64)
+    p_e = np.asarray(p_e, np.int64)
+    order = np.argsort(p_q, kind="stable")
+    p_q, p_s, p_e = p_q[order], p_s[order], p_e[order]
+
+    chunk_q = max(1, _BUCKET_BINS // max(n_ud, 1))
+    n_q = len(q_uniq)
+    out = []
+    for c0 in range(0, n_q, chunk_q):
+        c1 = min(c0 + chunk_q, n_q)
+        lo = np.searchsorted(p_q, c0)
+        hi = np.searchsorted(p_q, c1)
+        if lo == hi:
+            continue
+        lens = p_e[lo:hi] - p_s[lo:hi]
+        nz = lens > 0
+        if not nz.any():
+            continue
+        cq, cs, lens = p_q[lo:hi][nz], p_s[lo:hi][nz], lens[nz]
+        ends = np.cumsum(lens)
+        arena = (
+            np.arange(int(ends[-1]), dtype=np.int64)
+            - np.repeat(ends - lens, lens)
+            + np.repeat(cs, lens)
+        )
+        flat = np.repeat((cq - c0) * n_ud, lens) + dcode[arena]
+        nbins = (c1 - c0) * n_ud
+        S = np.bincount(flat, weights=weights[arena], minlength=nbins)
+        matched = np.bincount(flat, minlength=nbins) > 0
+        cells = np.flatnonzero(matched)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": q_uniq[cells // n_ud + c0],
+                    "doc_id": udocs[cells % n_ud],
+                    "score": S[cells],
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(_EMPTY_RESULT)
+    return pd.concat(out, ignore_index=True)
+
+
+def _probe_bucket(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Refine phase: for given (query_id, doc_id, term) probe rows, return
+    the exact weight contribution of ``term`` to ``doc_id`` where present.
+    Decodes ONLY blocks whose [first_doc, max_doc] range overlaps a probed
+    doc (binary search on block metadata, then on the decoded list)."""
+    if p_pdf.empty or seg_pdf.empty:
+        return pd.DataFrame(_EMPTY_RESULT)
+    idx = _ShardIndex(seg_pdf)
+    out = []
+    for t, grp in p_pdf.groupby("term"):
+        meta = idx.term_meta(t)
+        if meta is None:
+            continue
+        _, _, firsts, maxds, _ = meta
+        g_docs = grp["doc_id"].to_numpy(np.int64)
+        need = np.unique(g_docs)
+        lo = np.searchsorted(need, firsts, side="left")
+        hi = np.searchsorted(need, maxds, side="right")
+        mask = hi > lo
+        if not mask.any():
+            continue
+        d, w = idx.decode_blocks(t, block_mask=None if mask.all() else mask)
+        if len(d) == 0:
+            continue
+        pos = np.clip(np.searchsorted(d, g_docs), 0, len(d) - 1)
+        hit = d[pos] == g_docs
+        if not hit.any():
+            continue
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": grp["query_id"].to_numpy(np.int64)[hit],
+                    "doc_id": g_docs[hit],
+                    "score": w[pos[hit]],
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(_EMPTY_RESULT)
+    return pd.concat(out, ignore_index=True)
+
+
+def essential_split(spark, index_dir: str, qterms: DataFrame, k: int):
+    """Phase 0 of bound-then-refine: classify each (query, term) pair as
+    essential / non-essential from term_stats metadata alone. Returns
+    qterms + (df, ub, lb, suffix_ub, theta, essential). Exposed for tests
+    and diagnostics — the pruning win is exactly the non-essential mass."""
+    from pyspark.sql import Window
+
+    from similaripy_spark.fulltext.index_build import read_term_stats
+
+    neg_inf = float("-inf")
+    ts = read_term_stats(spark, index_dir)
+    qt = qterms.join(ts, "term")  # unhinted: AQE broadcasts when small
+    ub = F.greatest(F.col("max_weight").cast("double"), F.lit(0.0))
+    lb = F.least(F.col("min_weight").cast("double"), F.lit(0.0))
+    qt = qt.select(
+        "query_id", "term", "bucket", "df",
+        ub.alias("ub"), lb.alias("lb"),
+        F.col("min_weight").cast("double").alias("minw"),
+    )
+    # θ_q = max over t with df ≥ k of (minw_t - lb_t) + Σ_all lb
+    per_q = qt.groupBy("query_id").agg(
+        F.sum("lb").alias("sum_lb"),
+        F.max(
+            F.when(F.col("df") >= k, F.col("minw") - F.col("lb"))
+        ).alias("theta_base"),
+    ).select(
+        "query_id",
+        F.coalesce(
+            F.col("theta_base") + F.col("sum_lb"), F.lit(neg_inf)
+        ).alias("theta"),
+    )
+    w_desc = Window.partitionBy("query_id").orderBy(
+        F.col("ub").desc(), F.col("term").asc()
+    )
+    suffix = F.sum("ub").over(
+        w_desc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    qt = qt.withColumn("suffix_ub", suffix).join(per_q, "query_id")
+    # non-essential = maximal suffix with Σ ub < θ (STRICT — ties at the
+    # k-th score must never be pruned)
+    return qt.withColumn("essential", F.col("suffix_ub") >= F.col("theta"))
+
+
+def _bucket_topk_pruned(
+    spark, index_dir: str, merged: DataFrame, qterms: DataFrame, k: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Bound-then-refine (docstring in bucket_topk). All bounds come from
+    term_stats (block-metadata-derived, index_build._write_term_stats) and
+    are float32-consistent with the stored weights, so every comparison is
+    conservative-exact."""
+    from pyspark.sql import Window
+
+    neg_inf = float("-inf")
+    qt = essential_split(spark, index_dir, qterms, k)
+
+    ess = qt.filter("essential").select("query_id", "term", "bucket")
+    ne = qt.filter(~F.col("essential")).select(
+        "query_id", "term", "bucket", "ub", "lb"
+    )
+    bounds_ne = ne.groupBy("query_id").agg(
+        F.sum("ub").alias("ub_ne"), F.sum("lb").alias("lb_ne")
+    )
+
+    # phase 1: exhaustive scoring of ESSENTIAL postings only. The block
+    # side recomputes its bucket column independently (same crc32 % n)
+    # rather than joining the query side's — reusing that attribute in a
+    # later cogroup would be an ambiguous self-join.
+    ess_blocks = merged.join(
+        ess.select("term").distinct(), "term", "left_semi"
+    ).withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+    partials = (
+        ess.groupby("bucket")
+        .cogroup(ess_blocks.groupby("bucket"))
+        .applyInPandas(_score_bucket, schema=_RESULT_SCHEMA)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("p"))
+    )
+
+    # phase 2: candidate filter — θ₂ = k-th best (p + Σlb_ne); keep docs
+    # with p + Σub_ne ≥ θ₂ (missing bounds row ⇒ no ne terms ⇒ exact)
+    scored = partials.join(bounds_ne, "query_id", "left").select(
+        "query_id", "doc_id", "p",
+        (F.col("p") + F.coalesce(F.col("lb_ne"), F.lit(0.0))).alias("d_lb"),
+        (F.col("p") + F.coalesce(F.col("ub_ne"), F.lit(0.0))).alias("d_ub"),
+    )
+    w_lb = Window.partitionBy("query_id").orderBy(F.col("d_lb").desc())
+    theta2 = (
+        scored.withColumn("rn", F.row_number().over(w_lb))
+        .filter(F.col("rn") == k)
+        .select("query_id", F.col("d_lb").alias("theta2"))
+    )
+    cand = scored.join(theta2, "query_id", "left").filter(
+        F.col("d_ub") >= F.coalesce(F.col("theta2"), F.lit(neg_inf))
+    ).select("query_id", "doc_id", "p")
+
+    # phase 3: probe non-essential terms for the candidates only
+    probe_in = cand.select("query_id", "doc_id").join(
+        ne.select("query_id", "term", "bucket"), "query_id"
+    )
+    ne_blocks = merged.join(
+        ne.select("term").distinct(), "term", "left_semi"
+    ).withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
+    probe_partials = (
+        probe_in.groupby("bucket")
+        .cogroup(ne_blocks.groupby("bucket"))
+        .applyInPandas(_probe_bucket, schema=_RESULT_SCHEMA)
+    )
+
+    # phase 4: exact totals for candidates + deterministic top-k
+    totals = (
+        cand.select("query_id", "doc_id", F.col("p").alias("score"))
+        .unionByName(probe_partials)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("score"))
     )
     out = top_k(
         totals, k, group="query_id", order_value="score", tiebreak="doc_id",

