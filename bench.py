@@ -51,6 +51,30 @@ def _stats(samples: list[float]) -> dict:
     }
 
 
+def _cpu_jiffies() -> dict | None:
+    """First line of /proc/stat → named jiffy counters (None off-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq",
+             "steal"]
+    return dict(zip(names, (int(x) for x in parts[1:1 + len(names)])))
+
+
+def _steal_pct(before: dict | None, after: dict | None) -> float | None:
+    """Share of attempted compute the hypervisor stole during the window:
+    steal / (user+nice+system+steal). This box shows minutes-long storms
+    where steal exceeds 50% of user time — reporting it per level-run puts
+    the interference in the artifact instead of in prose."""
+    if not before or not after:
+        return None
+    d = {k: after[k] - before[k] for k in before}
+    busy = d["user"] + d["nice"] + d["system"] + d["steal"]
+    return round(100.0 * d["steal"] / busy, 1) if busy > 0 else 0.0
+
+
 def fulltext_bench(
     cpus: int, n_docs: int, n_queries: int, vocab: int, repeats: int = 1,
     measure_bucket: bool = False,
@@ -73,8 +97,14 @@ def fulltext_bench(
     spark = _mk_spark(cpus)
     try:
         with tempfile.TemporaryDirectory() as d:
-            pages = generate_pages(spark, n_docs, vocab_size=vocab,
-                                   partitions=4 * cpus)
+            pages_dir = os.environ.get("BENCH_PAGES_DIR")
+            if pages_dir and os.path.isdir(pages_dir):
+                # pre-generated once at full parallelism (input-side cost;
+                # identical bytes — the generator is seed-deterministic)
+                pages = spark.read.parquet(pages_dir)
+            else:
+                pages = generate_pages(spark, n_docs, vocab_size=vocab,
+                                       partitions=4 * cpus)
             # generation is input-side cost, not index throughput: materialize
             pages = pages.persist()
             pages.count()
@@ -103,9 +133,16 @@ def fulltext_bench(
             seg = read_segments(spark, idx).persist()
             seg.count()
             # one warm-up pass (python-worker spawn, codegen, page cache),
-            # then the measured passes — batch throughput is steady state
+            # then the measured passes — batch throughput is steady state.
+            # A 2k-query PREFIX of the batch warms every fixed cost (workers,
+            # codegen, cached segments) at a fraction of a full pass, keeping
+            # each scaling-level subprocess short enough to interleave.
             sids = list(range(n_shards))
-            segment_topk(seg, queries, k=10, shard_ids=sids).count()
+            warm_n = min(2000, n_queries)
+            warm = spark.createDataFrame(
+                generate_queries_pandas(warm_n, vocab_size=vocab)
+            )
+            segment_topk(seg, warm, k=10, shard_ids=sids).count()
             query_samples = []
             n_out = 0
             for _ in range(repeats):
@@ -278,9 +315,12 @@ def main():
     n_queries = int(os.environ.get("BENCH_QUERIES", "10000"))
     vocab = int(os.environ.get("BENCH_VOCAB", "50000"))
 
-    def run_level(level_cpus: int, repeats: int = 1, scale_docs: bool = False) -> dict:
+    def run_level(level_cpus: int, repeats: int = 1, scale_docs: bool = False,
+                  pages_dir: str | None = None) -> dict:
         env = dict(os.environ)
         env["BENCH_REPEATS"] = str(repeats)
+        if pages_dir:
+            env["BENCH_PAGES_DIR"] = pages_dir
         if scale_docs:
             # scaling section uses a larger corpus AND a larger query batch:
             # serial per-job costs (job scheduling, broadcast, final merge)
@@ -295,16 +335,22 @@ def main():
                 "BENCH_SCALE_QUERIES", "30000"
             )
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        j0 = _cpu_jiffies()
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
              "--fulltext-only", "--cpus", str(level_cpus)],
             capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
         )
         line = out.stdout.strip().splitlines()[-1]
-        return json.loads(line)
+        parsed = json.loads(line)
+        parsed["steal_pct"] = _steal_pct(j0, _cpu_jiffies())
+        return parsed
 
     os.environ["BENCH_BUCKET"] = os.environ.get("BENCH_BUCKET", "1")
-    fulltext = run_level(cpus, repeats=int(os.environ.get("BENCH_REPEATS", "2")))
+    # best-of-3 builds: each 100k-doc build is ~25 s quiet, and a third
+    # sample materially raises the odds that at least one lands outside a
+    # steal storm (the r2 driver run caught a storm on both of two samples)
+    fulltext = run_level(cpus, repeats=int(os.environ.get("BENCH_REPEATS", "3")))
     os.environ["BENCH_BUCKET"] = "0"  # scaling levels: identical jobs only
     queries["fulltext_build"] = fulltext["build_sec"]
     queries["fulltext_query_batch"] = fulltext["query_sec"]
@@ -320,17 +366,42 @@ def main():
         # therefore 2→8 by default; override with BENCH_SCALE_LOW/HIGH.
         low = int(os.environ.get("BENCH_SCALE_LOW", "2"))
         high = int(os.environ.get("BENCH_SCALE_HIGH", "8"))
-        reps = int(os.environ.get("BENCH_SCALE_REPEATS", "1"))
-        ft_low_fresh = run_level(low, repeats=reps, scale_docs=True)
-        ft_high_fresh = run_level(high, repeats=reps, scale_docs=True)
-        # the sandbox disk is a shared virtual device: minutes-long
-        # noisy-neighbor I/O storms add one-sided slowdowns of up to ~40%.
-        # Keep a history of level runs and report BOTH the fresh
-        # (this-run, contemporaneous) pair and the best-per-level pair —
-        # fresh shows what a single honest run measures, best-per-level
-        # measures the engine instead of the neighbors.
-        ft_low = _best_of_history(ft_low_fresh)
-        ft_high = _best_of_history(ft_high_fresh)
+        reps = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
+        # This host's hypervisor steals cycles in minutes-long one-sided
+        # storms (observed: /proc/stat steal >50% of user time; a 2-core
+        # level measured 774 s for a build its history best runs in 169 s).
+        # A sequential low→high pair under such a storm yields a random
+        # ratio in either direction. Defenses, all inside THIS single
+        # uncontrolled invocation: (a) pages are generated once and read by
+        # every level (input-side cost removed from wall time), (b) the
+        # levels run INTERLEAVED low,high,low,high so a storm overlaps both
+        # levels rather than one, (c) fresh = best-of-reps per level, with
+        # every sample + its measured steal%% in the artifact.
+        scale_docs_n = int(os.environ.get("BENCH_SCALE_DOCS", "300000"))
+        scale_vocab = int(os.environ.get("BENCH_SCALE_VOCAB", "100000"))
+        pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+        _pregen_pages(cpus, scale_docs_n, scale_vocab, pages_dir)
+        low_samples, high_samples = [], []
+        try:
+            for _ in range(reps):
+                low_samples.append(
+                    run_level(low, repeats=1, scale_docs=True,
+                              pages_dir=pages_dir)
+                )
+                high_samples.append(
+                    run_level(high, repeats=1, scale_docs=True,
+                              pages_dir=pages_dir)
+                )
+        finally:
+            import shutil
+
+            shutil.rmtree(pages_dir, ignore_errors=True)
+        ft_low_fresh = _fresh_best(low_samples)
+        ft_high_fresh = _fresh_best(high_samples)
+        # history best-per-level stays as the secondary (engine-capability)
+        # table; every fresh sample is appended to history
+        ft_low = _best_of_history(low_samples)
+        ft_high = _best_of_history(high_samples)
         factor = high / low
 
         def eff(hi: dict, lo: dict, key: str) -> float:
@@ -371,13 +442,47 @@ def main():
     )
 
 
-def _best_of_history(result: dict) -> dict:
-    """Append this level-run to BENCH/history.jsonl and return the best
-    throughput observed for (cpus, n_docs, n_queries) across history."""
+def _pregen_pages(cpus: int, n_docs: int, vocab: int, out_dir: str) -> None:
+    """Write the scaling corpus once at full parallelism; every level reads
+    the same bytes (the generator is seed-deterministic, so this changes
+    wall-clock only, not the measured job)."""
+    from similaripy_spark.sources.pages import generate_pages
+
+    spark = _mk_spark(cpus)
+    try:
+        generate_pages(
+            spark, n_docs, vocab_size=vocab, partitions=4 * cpus
+        ).write.mode("overwrite").parquet(out_dir)
+    finally:
+        spark.stop()
+
+
+def _fresh_best(samples: list[dict]) -> dict:
+    """Best throughput per metric across this run's interleaved samples for
+    one level, with the full spread + per-sample steal%% kept visible."""
+    best = dict(samples[0])
+    for s in samples[1:]:
+        if s["build_docs_per_sec"] > best["build_docs_per_sec"]:
+            best["build_docs_per_sec"] = s["build_docs_per_sec"]
+            best["build_sec"] = s["build_sec"]
+        if s["queries_per_sec"] > best["queries_per_sec"]:
+            best["queries_per_sec"] = s["queries_per_sec"]
+            best["query_sec"] = s["query_sec"]
+    best["build_stats"] = _stats([s["build_sec"] for s in samples])
+    best["query_stats"] = _stats([s["query_sec"] for s in samples])
+    best["steal_pct"] = [s.get("steal_pct") for s in samples]
+    return best
+
+
+def _best_of_history(samples: list[dict]) -> dict:
+    """Append this run's level samples to BENCH/history.jsonl and return the
+    best throughput observed for (cpus, n_docs, n_queries) across history."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
     with open(hist_path, "a") as f:
-        f.write(json.dumps(result) + "\n")
+        for result in samples:
+            f.write(json.dumps(result) + "\n")
+    result = samples[0]
     best = dict(result)
     key = (result["cpus"], result["n_docs"], result["n_queries"])
     for line in open(hist_path):
@@ -415,13 +520,20 @@ noisy-neighbor defense below):
 | index build docs/sec | {low['build_docs_per_sec']} | {high['build_docs_per_sec']} | {scaling['build_efficiency']} |
 | BM25 top-10 queries/sec | {low['queries_per_sec']} | {high['queries_per_sec']} | {scaling['query_efficiency']} |
 
-Fresh single-run pair (both levels measured back-to-back in THIS run —
-what one honest uncontrolled run shows, noise included):
+Fresh single-run pair — both levels measured INTERLEAVED
+(low,high,low,high) in THIS run, best-of-{fresh['low']['build_stats']['n']}
+per level, every sample and its hypervisor steal%% in the JSON artifact:
 
 | metric | local[{low_cpus}] | local[{cpus}] | efficiency |
 |---|---|---|---|
 | index build docs/sec | {fresh['low']['build_docs_per_sec']} | {fresh['high']['build_docs_per_sec']} | {fresh['build_efficiency']} |
 | BM25 top-10 queries/sec | {fresh['low']['queries_per_sec']} | {fresh['high']['queries_per_sec']} | {fresh['query_efficiency']} |
+
+Per-sample steal (share of attempted compute stolen by the hypervisor,
+/proc/stat): local[{low_cpus}] {fresh['low'].get('steal_pct')},
+local[{cpus}] {fresh['high'].get('steal_pct')}. Steal above a few percent
+means the sample measured the neighbors, not the engine — the interleaving
+ensures a storm degrades BOTH levels instead of biasing the ratio.
 
 Corpus: {high['n_docs']} docs, {high['n_queries']} queries, Zipf(1.07)
 vocabulary (hot term ≈10% of tokens). Build time excludes synthetic page
