@@ -55,7 +55,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from similaripy_spark.fulltext import codec
-from similaripy_spark.fulltext.commit import CommitProtocol, LocalFSCommitProtocol
+from similaripy_spark.fulltext.commit import (
+    CommitProtocol,
+    LocalFSCommitProtocol,
+    resolve_artifact,
+    resolve_artifact_multi,
+)
 from similaripy_spark.fulltext.postings import build_postings
 from similaripy_spark.fulltext.weights import bm25_weights
 
@@ -525,7 +530,14 @@ class IndexBuilder:
 
 
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "segments"))
+    """Backend-transparent: a rename-committed index is one directory tree;
+    a pointer-committed one (ObjectStoreCommitProtocol) is read by resolving
+    each group's pointer to its immutable versioned prefix."""
+    seg_dir = os.path.join(index_dir, "segments")
+    locs = resolve_artifact_multi(seg_dir, "group=")
+    if locs is not None:
+        return spark.read.parquet(*locs)
+    return spark.read.parquet(seg_dir)
 
 
 def read_meta(index_dir: str) -> dict:
@@ -533,11 +545,15 @@ def read_meta(index_dir: str) -> dict:
 
 
 def read_term_stats(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "term_stats"))
+    return spark.read.parquet(
+        resolve_artifact(os.path.join(index_dir, "term_stats"))
+    )
 
 
 def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "doc_stats"))
+    return spark.read.parquet(
+        resolve_artifact(os.path.join(index_dir, "doc_stats"))
+    )
 
 
 def read_lineage(spark: SparkSession, index_dir: str) -> DataFrame:
