@@ -24,6 +24,18 @@ the same seeded value stream over the reference's exact shape/density/dtype
 grid, and the comparison methodology (per-row top-k set + score rtol 1e-4,
 mirroring the reference's check_sum/check_full) is unchanged.
 
+Risk-note status (round 3): ``import scipy`` raises ModuleNotFoundError in
+this container and package installs are prohibited by the environment
+contract, so a literal bit-equality cross-check remains impossible here.
+Two facts bound the residual risk: (a) the reference pins
+``scipy>=1.12.0`` (reference pyproject.toml:35), and ``random_array`` —
+the exact API the reference tests call — was introduced in 1.12, so the
+transcription targets precisely that code lineage, not an older
+``sp.random`` path with a different draw sequence; (b) everything except
+the choice→unravel(F)→uniform orchestration (the numpy Generator stream,
+unravel_index itself, the float32 cast) executes on the installed numpy
+and is bit-exact by construction.
+
 Fixture matrices are committed as parquet under tests/fixtures/ (see
 tools/make_reference_fixtures.py); test_reference_fixtures.py pins that the
 committed bytes regenerate exactly.
