@@ -1,0 +1,92 @@
+"""End-to-end spark-submit --py-files drive (north rule: 'runs via
+spark-submit --py-files on multi-executor clusters').
+
+A REAL spark-submit subprocess — not a SparkSession in this pytest JVM —
+packages the library with tools/make_pyfiles.py, builds a pointer-committed
+index from a parquet pages table through tools/index_job.py, then queries
+it with the auto-routed front-end in a second spark-submit. Executors
+import similaripy_spark from the shipped zip only (cwd is a scratch dir, no
+PYTHONPATH), which is exactly the cluster deployment mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str | None:
+    import pyspark
+
+    cand = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    return cand if os.path.exists(cand) else shutil.which("spark-submit")
+
+
+@pytest.mark.slow
+def test_spark_submit_build_then_query(spark, tmp_path):
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("no spark-submit binary available")
+
+    from similaripy_spark.sources.pages import (
+        generate_pages,
+        generate_queries_pandas,
+    )
+
+    pages_p = str(tmp_path / "pages")
+    queries_p = str(tmp_path / "queries")
+    index_p = str(tmp_path / "index")
+    out_p = str(tmp_path / "results")
+    generate_pages(spark, 300, vocab_size=400).write.parquet(pages_p)
+    spark.createDataFrame(
+        generate_queries_pandas(25, vocab_size=400)
+    ).write.parquet(queries_p)
+
+    # package the library the way a cluster deployment would
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert zip_path.endswith(".zip") and os.path.exists(zip_path)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    base = [
+        submit, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "index_job.py"),
+    ]
+
+    r = subprocess.run(
+        base + ["build", "--pages", pages_p, "--index", index_p,
+                "--groups", "2", "--commit", "pointer"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    built = json.loads(r.stdout.strip().splitlines()[-1])
+    assert built["n_docs"] == 300
+    # pointer backend really used: segments/ holds pointer objects
+    assert any(
+        f.endswith(".ptr.json")
+        for f in os.listdir(os.path.join(index_p, "segments"))
+    )
+
+    r = subprocess.run(
+        base + ["query", "--index", index_p, "--queries", queries_p,
+                "--out", out_p, "--k", "10"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out_p)
+    assert got.count() == 250  # 25 queries x k=10
+    assert {"query_id", "doc_id", "score", "rank"} <= set(got.columns)

@@ -29,8 +29,20 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build")
-    b.add_argument("--pages", required=True)
+    b.add_argument(
+        "--pages", required=True,
+        help="parquet path or iceberg:<catalog.db.table>",
+    )
     b.add_argument("--index", required=True)
+    b.add_argument(
+        "--snapshot-id", type=int, default=None,
+        help="pin the Iceberg snapshot so resume re-reads the same state",
+    )
+    b.add_argument(
+        "--commit", choices=["rename", "pointer"], default="rename",
+        help="publish backend: POSIX rename (HDFS/local) or pointer-swap "
+        "(S3/GCS-style object stores)",
+    )
     b.add_argument(
         "--shard-size",
         type=lambda v: v if v == "auto" else int(v),
@@ -56,28 +68,35 @@ def main(argv=None):
     args = p.parse_args(argv)
     spark = SparkSession.builder.appName(f"index_job_{args.cmd}").getOrCreate()
 
-    from similaripy_spark.fulltext.index_build import (
-        IndexBuilder,
-        read_meta,
-        read_segments,
-    )
+    from similaripy_spark.fulltext.index_build import IndexBuilder
 
     if args.cmd == "build":
+        from similaripy_spark.fulltext.commit import ObjectStoreCommitProtocol
+        from similaripy_spark.sources.iceberg import read_pages_table
+
         builder = IndexBuilder(
             args.index,
             shard_size=args.shard_size,
             n_groups=args.groups,
             lang=args.lang,
+            commit=(
+                ObjectStoreCommitProtocol() if args.commit == "pointer"
+                else None
+            ),
         )
         meta = builder.build(
-            spark.read.parquet(args.pages), resume=not args.no_resume
+            read_pages_table(spark, args.pages,
+                             snapshot_id=args.snapshot_id),
+            resume=not args.no_resume,
         )
         print(json.dumps({"built": args.index, **{k: meta[k] for k in ("n_docs", "n_shards", "avgdl")}}))
     elif args.cmd == "query":
-        from similaripy_spark.fulltext.wand import segment_topk
+        from similaripy_spark.fulltext.retrieve import topk
 
         queries = spark.read.parquet(args.queries)
-        out = segment_topk(read_segments(spark, args.index), queries, k=args.k)
+        # auto-routed front-end: shard list from meta.json, path chosen
+        # from batch size + index layout (segment sweep / term-major)
+        out = topk(spark, args.index, queries, k=args.k)
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"queried": args.index, "out": args.out}))
     elif args.cmd == "merge":
