@@ -97,6 +97,12 @@ def fulltext_bench(
     spark = _mk_spark(cpus)
     try:
         with tempfile.TemporaryDirectory() as d:
+            # the corpus layout is shard-ALIGNED (each partition/file holds
+            # complete shards — the Iceberg bucket-partitioned crawl-table
+            # layout), so the build runs its no-exchange aligned path; the
+            # commit-time duplicate-block guard fails loudly if a parquet
+            # split ever broke the alignment
+            shard_size = max(n_docs // 64, 512)
             pages_dir = os.environ.get("BENCH_PAGES_DIR")
             if pages_dir and os.path.isdir(pages_dir):
                 # pre-generated once at full parallelism (input-side cost;
@@ -104,7 +110,8 @@ def fulltext_bench(
                 pages = spark.read.parquet(pages_dir)
             else:
                 pages = generate_pages(spark, n_docs, vocab_size=vocab,
-                                       partitions=4 * cpus)
+                                       partitions=4 * cpus,
+                                       align_to=shard_size)
             # generation is input-side cost, not index throughput: materialize
             pages = pages.persist()
             pages.count()
@@ -118,8 +125,9 @@ def fulltext_bench(
                 # scaling comparison runs the same job on the same layout
                 IndexBuilder(
                     idx,
-                    shard_size=max(n_docs // 64, 512),
+                    shard_size=shard_size,
                     n_groups=4,
+                    input_layout="aligned",
                 ).build(pages)
                 build_samples.append(time.monotonic() - t0)
             build_s = min(build_samples)
@@ -445,13 +453,16 @@ def main():
 def _pregen_pages(cpus: int, n_docs: int, vocab: int, out_dir: str) -> None:
     """Write the scaling corpus once at full parallelism; every level reads
     the same bytes (the generator is seed-deterministic, so this changes
-    wall-clock only, not the measured job)."""
+    wall-clock only, not the measured job). Partitions are shard-aligned —
+    one file per aligned doc range, single row group — so every level's
+    parquet splits hold complete shards and the aligned build applies."""
     from similaripy_spark.sources.pages import generate_pages
 
     spark = _mk_spark(cpus)
     try:
         generate_pages(
-            spark, n_docs, vocab_size=vocab, partitions=4 * cpus
+            spark, n_docs, vocab_size=vocab, partitions=4 * cpus,
+            align_to=max(n_docs // 64, 512),
         ).write.mode("overwrite").parquet(out_dir)
     finally:
         spark.stop()

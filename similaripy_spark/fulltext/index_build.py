@@ -207,7 +207,13 @@ class IndexBuilder:
         n_groups: int = 8,
         lang: str | None = None,
         commit: CommitProtocol | None = None,
+        input_layout: str = "shuffle",
     ):
+        if input_layout not in ("shuffle", "aligned"):
+            raise ValueError(
+                f"input_layout must be 'shuffle' or 'aligned', got "
+                f"{input_layout!r}"
+            )
         #: all artifact publishes go through the commit protocol — the
         #: local-FS rename backend here, an object-store pointer-swap
         #: backend in a cloud deployment (commit.py)
@@ -218,6 +224,18 @@ class IndexBuilder:
         self.shard_size = shard_size
         self.n_groups = n_groups
         self.lang = lang
+        #: 'shuffle' (default): one global exchange physically forms the
+        #: posting lists — correct for ANY input partitioning. 'aligned':
+        #: the input already co-locates complete shards per partition (a
+        #: crawl table stored with Iceberg bucket/range partitioning on the
+        #: doc id, or generate_pages(align_to=shard_size)) — the build then
+        #: runs WITHOUT any wide exchange of the postings stream: map-side
+        #: postings → broadcast term-stats join → sortWithinPartitions →
+        #: encode. Requires a memory-bounded vocabulary (forced broadcast);
+        #: a violated layout contract is caught at commit time by the
+        #: duplicate-block check, failing the build instead of silently
+        #: corrupting posting lists.
+        self.input_layout = input_layout
 
     # --- lineage helpers --------------------------------------------------
     def _lineage_path(self, group: int) -> str:
@@ -302,6 +320,9 @@ class IndexBuilder:
                     b=self.b,
                     n_docs=int(meta["n_docs"]),
                     avgdl=float(meta["avgdl"]),
+                    # aligned mode must not let the stats join re-hash the
+                    # postings stream (see _segment_plan)
+                    broadcast_stats=self.input_layout == "aligned",
                 ).withColumn(
                     "shard", (F.col("doc_id") / self.shard_size).cast("int")
                 )
@@ -378,6 +399,7 @@ class IndexBuilder:
             "b": self.b,
             "n_groups": self.n_groups,
             "lang": self.lang,
+            "input_layout": self.input_layout,
         }
         self.commit.publish_json(
             os.path.join(self.index_dir, "meta.json"), meta
@@ -393,6 +415,18 @@ class IndexBuilder:
         a range-partitioner sampling job. Sub-shard balance comes from also
         hashing a term salt."""
         bs = self.block_size
+        if self.input_layout == "aligned":
+            # input partitions already hold complete shards (narrow lineage
+            # preserved through build_postings + the broadcast stats join):
+            # no exchange at all — the partition-local sort forms the
+            # posting lists in place
+            return (
+                weighted.sortWithinPartitions("shard", "term", "doc_id")
+                .mapInPandas(
+                    lambda it, bs=bs: _encode_partition(it, bs),
+                    schema=SEGMENT_SCHEMA,
+                )
+            )
         n_parts = max(
             4 * max(n_shards_in, 1),
             weighted.sparkSession.sparkContext.defaultParallelism,
@@ -429,6 +463,28 @@ class IndexBuilder:
             for f in fs
         )
         return int(blocks), int(postings), int(disk_bytes)
+
+    def _check_aligned_contract(self, gdir: str) -> None:
+        """Aligned-mode guard: if an input partition straddled a shard (or a
+        join re-hashed the stream), two partitions each start block_id 0 for
+        the same (shard, term) — duplicate block keys. Fail the commit with
+        the violation instead of publishing corrupt posting lists."""
+        import pyarrow.dataset as pads
+
+        if not os.path.isdir(gdir):
+            return
+        ds = pads.dataset(gdir, format="parquet")
+        pdf = ds.to_table(columns=["shard", "term", "block_id"]).to_pandas()
+        dups = pdf[pdf.duplicated(keep=False)]
+        if len(dups):
+            sample = dups.head(5).to_dict("records")
+            raise ValueError(
+                "input_layout='aligned' contract violated: input partitions "
+                "do not hold complete shards (duplicate posting blocks "
+                f"{sample}). Re-partition the source on the doc range "
+                "(multiples of shard_size) or build with "
+                "input_layout='shuffle'."
+            )
 
     def _publish_lineage(self, g: int, run_id: str, blocks: int,
                          postings: int, disk_bytes: int, wall_ms: int) -> None:
@@ -479,6 +535,8 @@ class IndexBuilder:
         for g in pending:
             gsrc = os.path.join(stage_parent, f"group={g}")
             gdir = os.path.join(self.index_dir, "segments", f"group={g}")
+            if self.input_layout == "aligned":
+                self._check_aligned_contract(gsrc)
             blocks, n_postings, disk_bytes = self._group_footer_stats(gsrc)
             if not os.path.isdir(gsrc):
                 # group with no shards (n_shards < n_groups): publish an
@@ -501,6 +559,8 @@ class IndexBuilder:
         gdir = os.path.join(self.index_dir, "segments", f"group={g}")
         gtmp = self.commit.stage_path(gdir)
         seg.write.mode("overwrite").parquet(gtmp)
+        if self.input_layout == "aligned":
+            self._check_aligned_contract(gtmp)
         blocks, n_postings, disk_bytes = self._group_footer_stats(gtmp)
         self.commit.commit_dir(gtmp, gdir)
         self._publish_lineage(

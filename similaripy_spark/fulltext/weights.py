@@ -39,6 +39,7 @@ def bm25_weights(
     logbase: float = math.e,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """postings(doc_id, term, tf, dl) → + (weight double).
 
@@ -47,9 +48,18 @@ def bm25_weights(
     When BOTH ``n_docs`` and ``avgdl`` are given (the index builder already
     computed them from doc_stats) they become plan literals — no corpus agg,
     no crossJoin, one less pass over the postings.
+
+    ``broadcast_stats`` FORCES the term-stats broadcast. Only the aligned
+    index-build path sets it: there, preserving the postings partitioning is
+    a correctness requirement (a sort-merge fallback would re-hash the
+    stream by term and scatter each shard across partitions), so the
+    vocabulary must fit in executor memory — that mode is documented as
+    bounded-vocabulary; the default stays unhinted for web-scale vocabularies.
     """
     stats = term_stats(postings)
-    p = postings.join(stats, "term")
+    p = postings.join(
+        F.broadcast(stats) if broadcast_stats else stats, "term"
+    )
     if n_docs is not None and avgdl is not None:
         ndocs_col = F.lit(float(n_docs))
         avgdl_col = F.lit(float(avgdl))

@@ -108,8 +108,17 @@ def generate_pages(
     vocab_size: int = 2000,
     seed: int = 42,
     partitions: int | None = None,
+    align_to: int | None = None,
 ) -> DataFrame:
-    """Distributed deterministic pages table."""
+    """Distributed deterministic pages table.
+
+    ``align_to``: partition the output so every partition covers a
+    contiguous doc range that is a whole multiple of ``align_to`` (the
+    index shard size) — the layout a production crawl table stores as
+    Iceberg ``bucket``/range partitioning, which lets the index build skip
+    its global shuffle (IndexBuilder ``input_layout='aligned'``). Rows are
+    byte-identical to the unaligned generator; only the partitioning
+    differs (pure function of (seed, doc_id))."""
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)
 
@@ -137,6 +146,32 @@ def generate_pages(
                     "lang": lang,
                 }
             )
+
+    if align_to is not None:
+        import math as _math
+
+        span = max(
+            align_to,
+            _math.ceil(n_docs / partitions / align_to) * align_to,
+        )
+        n_parts = max(_math.ceil(n_docs / span), 1)
+
+        def gen_aligned(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                for p in b["id"].to_numpy(dtype=np.int64):
+                    lo, hi = p * span, min((p + 1) * span, n_docs)
+                    if lo >= hi:
+                        continue
+                    ids_pdf = pd.DataFrame(
+                        {"id": np.arange(lo, hi, dtype=np.int64)}
+                    )
+                    yield from gen(iter([ids_pdf]))
+
+        # one row per partition → each task generates one aligned doc range
+        return (
+            spark.range(0, n_parts, numPartitions=n_parts)
+            .mapInPandas(gen_aligned, schema=PAGES_SCHEMA)
+        )
 
     return (
         spark.range(0, n_docs, numPartitions=partitions)
