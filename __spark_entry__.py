@@ -579,6 +579,45 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+_HTML_PRE = ('<html><head><title>t</title><style>p{color:red}</style>'
+             '<script>var x = 1 < 2;</script></head><body><p>')
+_HTML_POST = '</p><br/>&amp; &quot;end&quot;</body></html>'
+
+
+def _q_extract_text(spark, sf_dir):
+    """HTML→text extraction (textstats.extract_html_text): wrap each
+    document body in a synthetic page (script/style blocks, tags, the five
+    XML entities) and recover the text — the input_hint's extraction stage,
+    exact against the identical RE2-compatible chain in DuckDB."""
+    from similaripy_spark.operators.textstats import extract_html_text
+
+    pages = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.col("text"),
+                 F.lit(_HTML_POST)).alias("html"),
+    )
+    return extract_html_text(pages)
+
+
+_SQL_EXTRACT_TEXT = f"""
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 '{_HTML_PRE.replace("'", "''")}' || text ||
+                 '{_HTML_POST.replace("'", "''")}',
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '<[^>]*>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&amp;', '&'),
+         '\\s+', ' ', 'g')) AS text
+FROM documents
+"""
+
+
 def _q_quality(spark, sf_dir):
     from similaripy_spark.operators.textstats import quality_score
 
@@ -1201,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         # text analysis
+        "extract_text": _q_extract_text,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "winnow_fingerprints": _q_winnow,
@@ -1272,6 +1312,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "ngram_jaccard_pairs": _SQL_JACCARD_PAIRS,
         "simhash": _SQL_SIMHASH,
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
+        "extract_text": _SQL_EXTRACT_TEXT,
         "token_stats": _SQL_TOKEN_STATS,
         "quality_score": _SQL_QUALITY,
         "cosine_bayes_shrink": _SQL_COSINE_BAYES,

@@ -34,6 +34,33 @@ STOPWORDS = {
 }
 
 
+def extract_html_text(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """html (binary or string) → extracted text; the input_hint's extraction
+    stage (pages carry html:binary alongside the extracted text:string —
+    this operator is how the text column is produced from the html one).
+
+    Pure Catalyst expressions, deliberately RE2-compatible (no
+    backreferences) so the SQL oracle twin runs the identical chain in
+    DuckDB: drop <script>/<style> blocks (separate non-greedy passes — RE2
+    has no \\1), strip remaining tags, decode the five predefined XML
+    entities (&amp; last, so '&amp;lt;' decodes to the literal '&lt;'),
+    collapse whitespace, trim. Full DOM parsing is a codec-library slot
+    like jpeg decode (multimodal.py); this is the exact-contract core that
+    covers machine-generated page bodies.
+    """
+    x = F.col(html_col).cast("string")
+    x = F.regexp_replace(x, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return pages.select(F.col(id_col).alias("doc_id"), x.alias("text"))
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token statistics: regex tokens, whitespace tokens, chars,
     avg token length, distinct-token ratio, plus a BPE-ish subword-count

@@ -519,3 +519,50 @@ def test_png_decode_throughput_and_size_cap():
             + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b""))
     with pytest.raises(multimodal.ImageTooLargeError, match="PNG_MAX_PIXELS"):
         multimodal.decode_image(evil)
+
+
+def test_extract_html_text(spark):
+    """HTML→text extraction: script/style blocks dropped, tags stripped,
+    entities decoded in XML order (&amp; last), whitespace collapsed; binary
+    and string html columns both accepted."""
+    from similaripy_spark.operators.textstats import extract_html_text
+
+    cases = [
+        (0, "<html><body><p>Hello   world</p></body></html>", "Hello world"),
+        (1, "<script>var a = '<p>';</script>text", "text"),
+        (2, "<style type='text/css'>p { color: red }</style>x", "x"),
+        (3, "a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;",
+         "a&b <tag> \"q\" 's'"),
+        (4, "&amp;lt; stays literal", "&lt; stays literal"),
+        (5, "<ScRiPt>u</sCrIpT>case<BR/>insensitive", "case insensitive"),
+        (6, "<script>\nmulti\nline\n</script>kept", "kept"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "doc_id long, html string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in extract_html_text(df).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    # binary html column (the pages-table type) decodes identically
+    bdf = spark.createDataFrame(
+        [(i, h.encode()) for i, h, _ in cases], "doc_id long, html binary"
+    )
+    bgot = {r["doc_id"]: r["text"] for r in extract_html_text(bdf).collect()}
+    assert bgot == got
+
+    # generated pages round-trip: extraction recovers the text column
+    from similaripy_spark.sources.pages import generate_pages
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 100, vocab_size=200)
+    n_bad = (
+        extract_html_text(pages)
+        .join(pages.select("doc_id", F.col("text").alias("want")), "doc_id")
+        .filter(F.col("text") != F.col("want"))
+        .count()
+    )
+    assert n_bad == 0
