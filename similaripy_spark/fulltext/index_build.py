@@ -100,11 +100,135 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
+def _encode_partition_arrow(batches, block_size: int):
+    """Arrow-native encoder: one partition = whole (shard, term) groups,
+    sorted by (shard, term, doc_id); groups may span record batches → carry
+    the tail group. Numeric columns come out of Arrow zero-copy and term
+    strings NEVER materialize as Python objects — change detection runs on
+    per-iteration dictionary codes, per-block terms via Arrow take. Same
+    bytes as the pandas encoder (parity-pinned); removes the 40M-row
+    arrow→pandas object conversion that dominated the encode stage's DRAM
+    traffic (the resource concurrent workers contend on)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    carry: dict | None = None  # columns of the held-back tail group
+
+    def encode_cols(shards, terms, docs, tfs, w32):
+        n = len(docs)
+        codes = pc.dictionary_encode(terms).indices.to_numpy(
+            zero_copy_only=False
+        )
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (codes[1:] != codes[:-1]) | (shards[1:] != shards[:-1])
+        gstart_idx = np.flatnonzero(change)
+        pos_in_group = np.arange(n) - np.repeat(
+            gstart_idx, np.diff(np.append(gstart_idx, n))
+        )
+        bstart = change | (pos_in_group % block_size == 0)
+        block_starts = np.flatnonzero(bstart)
+        block_ends = np.append(block_starts[1:], n)
+        block_n = block_ends - block_starts
+        block_id = (pos_in_group[block_starts] // block_size).astype(np.int32)
+        max_score = np.maximum.reduceat(w32, block_starts)
+        min_score = np.minimum.reduceat(w32, block_starts)
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[0] = 0
+        np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+        deltas[block_starts] = 0
+        dbuf, dlens = codec.encode_varints_with_lens(deltas.astype(np.uint64))
+        doff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dlens, out=doff[1:])
+        tbuf, tlens = codec.encode_varints_with_lens(tfs.astype(np.uint64))
+        toff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tlens, out=toff[1:])
+        wbuf = w32.tobytes()
+        dd = [dbuf[doff[s]:doff[e]] for s, e in zip(block_starts, block_ends)]
+        tt = [tbuf[toff[s]:toff[e]] for s, e in zip(block_starts, block_ends)]
+        ww = [wbuf[4 * s:4 * e] for s, e in zip(block_starts, block_ends)]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(shards[block_starts], type=pa.int32()),
+                terms.take(pa.array(block_starts)).cast(pa.string()),
+                pa.array(block_id, type=pa.int32()),
+                pa.array(block_n.astype(np.int32), type=pa.int32()),
+                pa.array(docs[block_starts], type=pa.int64()),
+                pa.array(docs[block_ends - 1], type=pa.int64()),
+                pa.array(max_score, type=pa.float32()),
+                pa.array(min_score, type=pa.float32()),
+                pa.array(dd, type=pa.binary()),
+                pa.array(tt, type=pa.binary()),
+                pa.array(ww, type=pa.binary()),
+            ],
+            names=[f.name for f in SEGMENT_SCHEMA.fields],
+        )
+
+    def cols_of(b):
+        idx = {name: b.schema.get_field_index(name)
+               for name in ("shard", "term", "doc_id", "tf", "weight")}
+        return {
+            "shard": b.column(idx["shard"]).to_numpy(
+                zero_copy_only=False).astype(np.int32),
+            "term": b.column(idx["term"]),
+            "doc": b.column(idx["doc_id"]).to_numpy(zero_copy_only=False),
+            "tf": b.column(idx["tf"]).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "w32": b.column(idx["weight"]).to_numpy(
+                zero_copy_only=False).astype(np.float32),
+        }
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        c = cols_of(b)
+        if carry is not None:
+            c = {
+                "shard": np.concatenate([carry["shard"], c["shard"]]),
+                "term": pa.concat_arrays(
+                    [carry["term"].combine_chunks()
+                     if isinstance(carry["term"], pa.ChunkedArray)
+                     else carry["term"],
+                     c["term"].combine_chunks()
+                     if isinstance(c["term"], pa.ChunkedArray)
+                     else c["term"]]
+                ),
+                "doc": np.concatenate([carry["doc"], c["doc"]]),
+                "tf": np.concatenate([carry["tf"], c["tf"]]),
+                "w32": np.concatenate([carry["w32"], c["w32"]]),
+            }
+        n = len(c["doc"])
+        # hold back the final (shard, term) group — it may continue in the
+        # next batch. The tail is a suffix because input is sorted.
+        last_shard = c["shard"][-1]
+        same_shard = c["shard"] == last_shard
+        last_term = c["term"][n - 1]
+        same_term = pc.equal(c["term"], last_term).to_numpy(
+            zero_copy_only=False
+        )
+        tail_len = int((same_shard & same_term)[::-1].argmin()) or n
+        tail_start = n - tail_len
+        carry = {k: (v.slice(tail_start) if k == "term" else v[tail_start:])
+                 for k, v in c.items()}
+        if tail_start:
+            yield encode_cols(
+                c["shard"][:tail_start],
+                c["term"].slice(0, tail_start),
+                c["doc"][:tail_start],
+                c["tf"][:tail_start],
+                c["w32"][:tail_start],
+            )
+    if carry is not None and len(carry["doc"]):
+        yield encode_cols(carry["shard"], carry["term"], carry["doc"],
+                          carry["tf"], carry["w32"])
+
+
 def _encode_partition(
     batches: Iterator[pd.DataFrame], block_size: int
 ) -> Iterator[pd.DataFrame]:
     """One partition = whole shards, sorted by (shard, term, doc_id).
-    Groups may span Arrow batches → carry the tail group over."""
+    Groups may span Arrow batches → carry the tail group over.
+    (pandas twin of _encode_partition_arrow, kept for parity testing)"""
     carry: pd.DataFrame | None = None
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -208,7 +332,10 @@ class IndexBuilder:
         lang: str | None = None,
         commit: CommitProtocol | None = None,
         input_layout: str = "shuffle",
+        encoder: str = "arrow",
     ):
+        if encoder not in ("arrow", "pandas"):
+            raise ValueError(f"encoder must be 'arrow' or 'pandas', got {encoder!r}")
         if input_layout not in ("shuffle", "aligned"):
             raise ValueError(
                 f"input_layout must be 'shuffle' or 'aligned', got "
@@ -224,6 +351,9 @@ class IndexBuilder:
         self.shard_size = shard_size
         self.n_groups = n_groups
         self.lang = lang
+        #: block encoder: 'arrow' (default — zero object churn) or 'pandas'
+        #: (parity-test twin); identical output bytes
+        self.encoder = encoder
         #: 'shuffle' (default): one global exchange physically forms the
         #: posting lists — correct for ANY input partitioning. 'aligned':
         #: the input already co-locates complete shards per partition (a
@@ -415,32 +545,35 @@ class IndexBuilder:
         a range-partitioner sampling job. Sub-shard balance comes from also
         hashing a term salt."""
         bs = self.block_size
+
+        def encode(sorted_df):
+            if self.encoder == "pandas":
+                return sorted_df.mapInPandas(
+                    lambda it, bs=bs: _encode_partition(it, bs),
+                    schema=SEGMENT_SCHEMA,
+                )
+            return sorted_df.mapInArrow(
+                lambda it, bs=bs: _encode_partition_arrow(it, bs),
+                schema=SEGMENT_SCHEMA,
+            )
+
         if self.input_layout == "aligned":
             # input partitions already hold complete shards (narrow lineage
             # preserved through build_postings + the broadcast stats join):
             # no exchange at all — the partition-local sort forms the
             # posting lists in place
-            return (
+            return encode(
                 weighted.sortWithinPartitions("shard", "term", "doc_id")
-                .mapInPandas(
-                    lambda it, bs=bs: _encode_partition(it, bs),
-                    schema=SEGMENT_SCHEMA,
-                )
             )
         n_parts = max(
             4 * max(n_shards_in, 1),
             weighted.sparkSession.sparkContext.defaultParallelism,
             8,
         )
-        return (
+        return encode(
             weighted.repartition(
                 n_parts, F.col("shard"), F.crc32(F.col("term")) % 4
-            )
-            .sortWithinPartitions("shard", "term", "doc_id")
-            .mapInPandas(
-                lambda it, bs=bs: _encode_partition(it, bs),
-                schema=SEGMENT_SCHEMA,
-            )
+            ).sortWithinPartitions("shard", "term", "doc_id")
         )
 
     def _group_footer_stats(self, gdir: str) -> tuple[int, int, int]:
