@@ -111,14 +111,23 @@ def _membw_probe_gbps() -> float | None:
     try:
         import numpy as np
 
-        a = np.empty(1 << 27, dtype=np.float64)  # 1 GiB
-        a[::4096] = 1.0  # fault the pages in
-        t0 = time.perf_counter()
-        b = a.copy()
-        dt = time.perf_counter() - t0
+        # both buffers fully faulted in FIRST — a cold numpy .copy() times
+        # page-fault/allocation cost (~0.2 GB/s on this box) instead of
+        # bandwidth (11-16 GB/s warm, measured); best-of-3 warm copies
+        a = np.empty(1 << 26, dtype=np.float64)  # 512 MiB
+        b = np.empty(1 << 26, dtype=np.float64)
+        a[:] = 1.0
+        b[:] = 0.0
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.copyto(b, a)
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
         del a, b
-        # copy touches 2 GiB (read + write)
-        return round(2.0 / dt, 2)
+        # copy touches 1 GiB (read + write)
+        return round(1.0 / best, 2)
     except Exception:
         return None
 
