@@ -613,7 +613,7 @@ SELECT doc_id,
              '<[^>]*>', ' ', 'g'),
            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
            '&amp;', '&'),
-         '\\s+', ' ', 'g')) AS text
+         '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
 FROM documents
 """
 

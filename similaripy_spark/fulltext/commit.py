@@ -93,10 +93,15 @@ def resolve_artifact(path: str) -> str:
         return path
 
 
-def resolve_artifact_multi(directory: str, glob_prefix: str = "") -> list[str] | None:
+def resolve_artifact_multi(
+    directory: str, glob_prefix: str = ""
+) -> list[tuple[str, str]] | None:
     """For a directory of sibling artifacts (segments/group=G): the list of
-    committed physical locations if this directory is pointer-committed,
-    else None (rename backend — read the directory itself)."""
+    (artifact_name, committed physical location) pairs if this directory is
+    pointer-committed, else None (rename backend — read the directory
+    itself). ``artifact_name`` is the pointer stem (e.g. ``group=3``) so
+    callers can reconstruct partition-column values that rename-mode
+    partition discovery would have provided."""
     if not os.path.isdir(directory):
         return None
     ptrs = sorted(
@@ -109,7 +114,7 @@ def resolve_artifact_multi(directory: str, glob_prefix: str = "") -> list[str] |
     for f in ptrs:
         try:
             with open(os.path.join(directory, f)) as fh:
-                out.append(json.load(fh)["location"])
+                out.append((f[: -len(".ptr.json")], json.load(fh)["location"]))
         except (OSError, json.JSONDecodeError, KeyError):
             continue  # torn pointer ⇒ that artifact is not committed
     return out
@@ -240,9 +245,12 @@ class ObjectStoreCommitProtocol(CommitProtocol):
         return staged
 
     def commit_dir(self, staged_path: str, final_path: str) -> None:
+        # Record the location in canonical form so liveness checks
+        # (vacuum_versions) never depend on the spelling the builder used
+        # for index_dir (relative vs absolute vs symlinked).
         self.publish_json(
             pointer_path(final_path),
-            {"location": staged_path, "committed": True},
+            {"location": os.path.realpath(staged_path), "committed": True},
         )
 
     def discard(self, staged_path: str) -> None:
@@ -263,14 +271,21 @@ def vacuum_versions(index_dir: str) -> int:
     ``*.ptr.json`` under the tree, then remove ``_versions`` entries that
     neither are referenced nor contain a referenced location. Returns the
     number of prefixes removed. Safe at any time — pointers are the single
-    source of truth for liveness."""
+    source of truth for liveness.
+
+    Both sides of the liveness comparison are canonicalized with
+    ``os.path.realpath``: pointer locations were recorded with whatever
+    spelling of index_dir the builder used (possibly relative, or through a
+    symlink), while candidates come from walking the index_dir spelling the
+    CALLER used — a raw string comparison between the two would miss every
+    live prefix and delete committed data."""
     live: set[str] = set()
     for root, _dirs, files in os.walk(index_dir):
         for f in files:
             if f.endswith(".ptr.json"):
                 try:
                     with open(os.path.join(root, f)) as fh:
-                        live.add(json.load(fh)["location"])
+                        live.add(os.path.realpath(json.load(fh)["location"]))
                 except (OSError, json.JSONDecodeError, KeyError):
                     continue
     removed = 0
@@ -278,7 +293,7 @@ def vacuum_versions(index_dir: str) -> int:
         if os.path.basename(root) != "_versions":
             continue
         for d in list(dirs):
-            p = os.path.join(root, d)
+            p = os.path.realpath(os.path.join(root, d))
             if p in live or any(loc.startswith(p + os.sep) for loc in live):
                 continue
             shutil.rmtree(p, ignore_errors=True)

@@ -725,11 +725,26 @@ class IndexBuilder:
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     """Backend-transparent: a rename-committed index is one directory tree;
     a pointer-committed one (ObjectStoreCommitProtocol) is read by resolving
-    each group's pointer to its immutable versioned prefix."""
+    each group's pointer to its immutable versioned prefix. The resolved
+    leaves live under ``_versions/`` where partition discovery can't see the
+    ``group=G`` component, so the group column rename-mode discovery would
+    add is reconstructed from the pointer stems — both backends yield the
+    same segment schema."""
     seg_dir = os.path.join(index_dir, "segments")
-    locs = resolve_artifact_multi(seg_dir, "group=")
-    if locs is not None:
-        return spark.read.parquet(*locs)
+    named = resolve_artifact_multi(seg_dir, "group=")
+    if named is not None:
+        parts = [
+            spark.read.parquet(loc)
+            .withColumn(
+                "group",
+                F.lit(int(name.split("=", 1)[1])).cast("int"),
+            )
+            for name, loc in named
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
     return spark.read.parquet(seg_dir)
 
 

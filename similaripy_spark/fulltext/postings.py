@@ -67,7 +67,10 @@ def build_postings(
         for b in batches:
             if len(b) == 0:
                 continue
-            toks = b["text"].str.lower().str.split(TOKEN_SPLIT_RE, regex=True)
+            toks = (
+                b["text"].fillna("").str.lower()
+                .str.split(TOKEN_SPLIT_RE, regex=True)
+            )
             lens = toks.map(len).to_numpy(np.int64)
             flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)
             doc_idx = np.repeat(np.arange(len(b), dtype=np.int64), lens)
@@ -108,9 +111,12 @@ def _count_terms_arrow(batches):
             continue
         doc_col = b.schema.get_field_index("doc_id")
         text_col = b.schema.get_field_index("text")
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(b.column(text_col)), TOKEN_SPLIT_RE
-        )
+        # Null text must behave like empty text: a null token list would
+        # make list_value_length yield null → NaN → garbage int64 counts
+        # fed to np.repeat. (validate_pages_schema also rejects nullable
+        # text, but this kernel is callable on bare DataFrames.)
+        text = pc.fill_null(b.column(text_col), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
         n_per = pc.list_value_length(toks).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)

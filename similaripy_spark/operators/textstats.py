@@ -57,7 +57,10 @@ def extract_html_text(
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&#39;", "'"), ("&amp;", "&")):
         x = F.replace(x, F.lit(ent), F.lit(ch))
-    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    # Explicit whitespace class, not \s: Java's \s includes vertical tab
+    # (\x0B) but RE2's does not — the explicit class keeps Spark and the
+    # DuckDB oracle twin byte-identical on pages containing \x0B.
+    x = F.trim(F.regexp_replace(x, "[ \\t\\n\\x0B\\f\\r]+", " "))
     return pages.select(F.col(id_col).alias("doc_id"), x.alias("text"))
 
 

@@ -156,16 +156,25 @@ def generate_pages(
         )
         n_parts = max(_math.ceil(n_docs / span), 1)
 
+        # Stream the span in chunks (multiples of align_to) so per-task
+        # memory is bounded by the chunk, not the whole span — alignment
+        # only requires the PARTITION boundary to sit on an align_to
+        # multiple, which chunking within the task preserves.
+        chunk = align_to * max(1, -(-10_000 // align_to))
+
         def gen_aligned(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
                 for p in b["id"].to_numpy(dtype=np.int64):
                     lo, hi = p * span, min((p + 1) * span, n_docs)
-                    if lo >= hi:
-                        continue
-                    ids_pdf = pd.DataFrame(
-                        {"id": np.arange(lo, hi, dtype=np.int64)}
-                    )
-                    yield from gen(iter([ids_pdf]))
+                    for c0 in range(lo, hi, chunk):
+                        ids_pdf = pd.DataFrame(
+                            {
+                                "id": np.arange(
+                                    c0, min(c0 + chunk, hi), dtype=np.int64
+                                )
+                            }
+                        )
+                        yield from gen(iter([ids_pdf]))
 
         # one row per partition → each task generates one aligned doc range
         return (

@@ -125,4 +125,41 @@ def test_torn_pointer_reads_as_uncommitted(tmp_path):
         f.write('{"locat')  # torn write
     assert commit.resolve(final) == final  # falls back: no committed version
     commit.commit_dir(staged, final)
-    assert commit.resolve(final) == staged
+    assert commit.resolve(final) == os.path.realpath(staged)
+
+
+def test_vacuum_path_spelling_independent(spark, tmp_path):
+    """Liveness must not depend on path spelling: build under one spelling
+    of index_dir, vacuum through a SYMLINKED spelling. A raw string
+    comparison between pointer locations (recorded under the build
+    spelling) and walked candidates (under the vacuum spelling) would
+    match nothing and delete every committed prefix — the reads after
+    vacuum are the data-loss check."""
+    commit = ObjectStoreCommitProtocol()
+    real = str(tmp_path / "idx")
+    _build(spark, real, commit)
+    before = _query_pdf(spark, real)
+    link = str(tmp_path / "idx_link")
+    os.symlink(real, link)
+    assert vacuum_versions(link) == 0  # every committed prefix is live
+    after = _query_pdf(spark, real)
+    assert before.equals(after)
+
+
+def test_pointer_read_segments_has_group_column(spark, tmp_path):
+    """Both commit backends must yield the same segment schema: pointer-mode
+    reads resolve leaves under _versions/ where partition discovery can't
+    see group=G, so read_segments reconstructs the column."""
+    d_ptr = str(tmp_path / "ptr")
+    d_fs = str(tmp_path / "fs")
+    _build(spark, d_ptr, ObjectStoreCommitProtocol())
+    _build(spark, d_fs, LocalFSCommitProtocol())
+    seg_ptr = read_segments(spark, d_ptr)
+    seg_fs = read_segments(spark, d_fs)
+    assert sorted(seg_ptr.columns) == sorted(seg_fs.columns)
+    tp = dict(seg_ptr.dtypes)["group"]
+    tf = dict(seg_fs.dtypes)["group"]
+    assert tp == tf, (tp, tf)
+    g_ptr = sorted(r["group"] for r in seg_ptr.select("group").distinct().collect())
+    g_fs = sorted(r["group"] for r in seg_fs.select("group").distinct().collect())
+    assert g_ptr == g_fs == [0, 1, 2]

@@ -98,6 +98,25 @@ def test_postings_mapside_equals_sql_plan(spark, pages):
     )
 
 
+def test_postings_null_text_is_empty_doc(spark):
+    """A nullable text column (valid in an evolved Iceberg table) must
+    behave like empty text in BOTH kernels, not feed NaN-cast garbage
+    counts into np.repeat inside the Arrow kernel."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, None), (2, ""), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    for engine in ("arrow", "pandas"):
+        out = (
+            build_postings(df, engine=engine)
+            .toPandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        assert sorted(out["doc_id"].unique()) == [0, 3], engine
+        assert out[out.doc_id == 0]["tf"].sum() == 3, engine
+
+
 def test_bm25_topk_rank_identical_to_oracle(spark, pages, pages_pd):
     queries_pd = generate_queries_pandas(60, vocab_size=VOCAB)
     queries = spark.createDataFrame(queries_pd)

@@ -536,6 +536,10 @@ def test_extract_html_text(spark):
         (4, "&amp;lt; stays literal", "&lt; stays literal"),
         (5, "<ScRiPt>u</sCrIpT>case<BR/>insensitive", "case insensitive"),
         (6, "<script>\nmulti\nline\n</script>kept", "kept"),
+        # \x0B (vertical tab): Java \s would collapse it but RE2's \s would
+        # not — the chain uses an explicit class so Spark and the DuckDB
+        # oracle twin agree byte-for-byte.
+        (7, "a\x0bb\tc", "a b c"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in cases], "doc_id long, html string"
