@@ -460,6 +460,7 @@ def segment_topk(
     batch: bool | None = None,
     shard_ids=None,
     query_weighted: bool = False,
+    index_dir: str | None = None,
 ) -> DataFrame:
     """queries(query_id, terms) × doc-sharded segments → global top-k
     (query_id, doc_id, score, rank).
@@ -470,6 +471,11 @@ def segment_topk(
     small selective batches. Default: batch for ≥64 queries per shard is a
     good rule of thumb, but since the query count isn't known at plan time,
     ``batch=None`` resolves to True (the bench/batch use case).
+
+    Shard enumeration: pass ``shard_ids`` (``range(meta['n_shards'])``) or
+    ``index_dir`` (the shard count is read from ``meta.json``, a driver-side
+    file read — no job). Only a bare-DataFrame call with neither falls back
+    to a shard-discovery ``distinct().collect()`` job.
     """
     if batch is None:
         batch = True
@@ -484,10 +490,14 @@ def segment_topk(
             "parallel to `terms`"
         )
     spark = segments.sparkSession
+    if shard_ids is None and index_dir is not None:
+        from similaripy_spark.fulltext.index_build import read_meta
+
+        shard_ids = range(int(read_meta(index_dir)["n_shards"]))
     if shard_ids is None:
-        # distinct shard ids are tiny (n_docs / shard_size); collecting
-        # breaks the self-join lineage between the cogroup sides. Pass
-        # shard_ids (e.g. range(meta['n_shards'])) to skip this job.
+        # last resort (bare-DataFrame caller, no index_dir): distinct shard
+        # ids are tiny (n_docs / shard_size) but this IS a Spark job —
+        # engine-internal paths always pass shard_ids or index_dir.
         shard_ids = [
             r["shard"] for r in segments.select("shard").distinct().collect()
         ]

@@ -177,6 +177,30 @@ def test_segment_topk_shard_ids_param(spark, built):
     assert a == b
 
 
+def test_segment_topk_index_dir_runs_no_discovery_job(spark, built):
+    """segment_topk(index_dir=...) derives the shard list from meta.json —
+    a driver-side file read. Plan CONSTRUCTION must launch zero Spark jobs
+    (the discovery distinct().collect() is last-resort only), and results
+    must match the discovered default."""
+    d, meta, pages = built
+    queries = spark.createDataFrame(generate_queries_pandas(10, vocab_size=VOCAB))
+    seg = read_segments(spark, d)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = segment_topk(seg, queries, k=10, index_dir=d)  # construction only
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "plan construction launched a Spark job"
+
+    a = df.orderBy("query_id", "rank").collect()
+    b = (
+        segment_topk(seg, queries, k=10, shard_ids=range(meta["n_shards"]))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert a == b
+
+
 def test_resume_after_injected_failure(spark, tmp_path):
     d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
     pages = generate_pages(spark, 600, vocab_size=800)
