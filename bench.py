@@ -7,11 +7,23 @@ Default run (what the driver invokes):
      local cores in subprocesses → scaling efficiency (BASELINE.json north
      rule; also written to BENCH/BASELINE.md)
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints a parseable JSON line after EVERY section (cumulative — each line is
+the full result object so far, so whichever line is last when a driver
+timeout kills the process is a valid artifact with everything measured up to
+that point):
+  {"metric": "bench_total_sec", "value": N, "unit": "sec", "queries": {...},
+   "sections_done": [...], "sf": ..., "fulltext": ..., "scaling": ...}
+
+The whole run is on an explicit wall-clock budget (BENCH_TIME_BUDGET
+seconds, default 1500): before each scaling step the harness compares the
+remaining budget against that step's measured-or-estimated cost and skips
+(recording what it skipped in scaling.skipped) rather than blow past the
+driver's timeout — round 3 lost ALL its driver-observed numbers to exactly
+that (BENCH_r03.json: rc=124, parsed=null).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_DOCS, BENCH_QUERIES,
-BENCH_SKIP_SCALING=1.
+BENCH_TIME_BUDGET, BENCH_SKIP_SCALING=1, BENCH_BUCKET=1 (opt-in path
+comparison — r3 had it default-on and it ate the budget).
 """
 
 from __future__ import annotations
@@ -240,12 +252,14 @@ def fulltext_bench(
             warm = spark.createDataFrame(
                 generate_queries_pandas(warm_n, vocab_size=vocab)
             )
-            segment_topk(seg, warm, k=10, shard_ids=sids).count()
+            segment_topk(seg, warm, k=10, shard_ids=sids,
+                         index_dir=idx).count()
             query_samples = []
             n_out = 0
             for _ in range(repeats):
                 t0 = time.monotonic()
-                n_out = segment_topk(seg, queries, k=10, shard_ids=sids).count()
+                n_out = segment_topk(seg, queries, k=10, shard_ids=sids,
+                                     index_dir=idx).count()
                 query_samples.append(time.monotonic() - t0)
             query_s = min(query_samples)
             out = {
@@ -291,7 +305,7 @@ def _bucket_demo(spark, idx: str, vocab: int) -> dict:
     sids = list(range(read_meta(idx)["n_shards"]))
     runs = {
         "segment_sec": lambda: segment_topk(seg, queries, k=10,
-                                            shard_ids=sids),
+                                            shard_ids=sids, index_dir=idx),
         "exhaustive_sec": lambda: bucket_topk(spark, idx, queries, k=10,
                                               prune=False),
         "pruned_sec": lambda: bucket_topk(spark, idx, queries, k=10,
@@ -408,7 +422,34 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
 
     t_total = time.monotonic()
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_total)
+
+    result = {
+        "metric": "bench_total_sec",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "queries_detail": {},
+        "sf": sf,
+        "fulltext": None,
+        "scaling": None,
+        "sections_done": [],
+        "time_budget_sec": budget,
+    }
+
+    def emit(section: str) -> None:
+        """One full cumulative JSON line per completed section — the last
+        complete line is always a valid artifact, even under SIGKILL."""
+        result["sections_done"] = result["sections_done"] + [section]
+        result["value"] = round(time.monotonic() - t_total, 3)
+        print(json.dumps(result), flush=True)
+
     queries, queries_detail = headline_queries(cpus, sf_dir)
+    result["queries"], result["queries_detail"] = queries, queries_detail
+    emit("headline")
 
     n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
     n_queries = int(os.environ.get("BENCH_QUERIES", "10000"))
@@ -530,16 +571,19 @@ def main():
         med["membw_gbps"] = [bw0, _membw_probe_gbps()]
         return med
 
-    os.environ["BENCH_BUCKET"] = os.environ.get("BENCH_BUCKET", "1")
-    # best-of-3 builds: each 100k-doc build is ~25 s quiet, and a third
-    # sample materially raises the odds that at least one lands outside a
-    # steal storm (the r2 driver run caught a storm on both of two samples)
-    fulltext = run_level(cpus, repeats=int(os.environ.get("BENCH_REPEATS", "3")))
+    # bucket-path comparison is OPT-IN (r3 had it default-on; the merge +
+    # six timed runs it adds were a main reason the driver timeout hit)
+    os.environ["BENCH_BUCKET"] = os.environ.get("BENCH_BUCKET", "0")
+    # best-of-2 builds at the headline level: each 100k-doc build is ~12 s
+    # quiet; two samples catch a one-sided storm without risking the budget
+    fulltext = run_level(cpus, repeats=int(os.environ.get("BENCH_REPEATS", "2")))
     os.environ["BENCH_BUCKET"] = "0"  # scaling levels: identical jobs only
     queries["fulltext_build"] = fulltext["build_sec"]
     queries["fulltext_query_batch"] = fulltext["query_sec"]
     queries_detail["fulltext_build"] = fulltext.get("build_stats")
     queries_detail["fulltext_query_batch"] = fulltext.get("query_stats")
+    result["fulltext"] = fulltext
+    emit("fulltext")
 
     scaling = None
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
@@ -563,12 +607,80 @@ def main():
         # every sample + its measured steal%% in the artifact.
         scale_docs_n = int(os.environ.get("BENCH_SCALE_DOCS", "300000"))
         scale_vocab = int(os.environ.get("BENCH_SCALE_VOCAB", "100000"))
-        pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
-        _pregen_pages(cpus, scale_docs_n, scale_vocab, pages_dir)
         n_conc = max(high // low, 1)
+        factor = high / low
+
+        def eff(hi: dict, lo: dict, key: str) -> float:
+            return round((hi[key] / lo[key]) / factor, 3)
+
+        def assemble(low_samples, high_samples, iso, skipped):
+            ft_low_fresh = _fresh_best(low_samples)
+            ft_high_fresh = _fresh_best(high_samples)
+            # history best-per-level is the secondary (engine-capability)
+            # view; every fresh sample is appended to history. Entries
+            # tagged "seeded": true (hand-recorded quiet-window runs) are
+            # EXCLUDED from the best-per-level lookup — provenance stays in
+            # the data, the headline tables stay uncontrolled-run-only.
+            ft_low = _best_of_history(low_samples)
+            ft_high = _best_of_history(high_samples)
+            s = {
+                "low": ft_low,
+                "high": ft_high,
+                "build_efficiency": eff(ft_high, ft_low,
+                                        "build_docs_per_sec"),
+                "query_efficiency": eff(ft_high, ft_low, "queries_per_sec"),
+                "fresh": {
+                    "low": ft_low_fresh,
+                    "high": ft_high_fresh,
+                    "build_efficiency": eff(
+                        ft_high_fresh, ft_low_fresh, "build_docs_per_sec"
+                    ),
+                    "query_efficiency": eff(
+                        ft_high_fresh, ft_low_fresh, "queries_per_sec"
+                    ),
+                },
+                "skipped": skipped,
+            }
+            if iso is not None:
+                s["iso_load"] = {
+                    "low": iso,
+                    "build_efficiency": eff(
+                        ft_high_fresh, iso, "build_docs_per_sec"
+                    ),
+                    "query_efficiency": eff(
+                        ft_high_fresh, iso, "queries_per_sec"
+                    ),
+                }
+            return s
+
+        pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
         low_samples, high_samples, iso = [], [], None
+        skipped: list[str] = []
         try:
-            for _ in range(reps):
+            _pregen_pages(cpus, scale_docs_n, scale_vocab, pages_dir)
+            t_pair0 = time.monotonic()
+            low_samples.append(
+                run_level(low, repeats=1, scale_docs=True,
+                          pages_dir=pages_dir)
+            )
+            high_samples.append(
+                run_level(high, repeats=1, scale_docs=True,
+                          pages_dir=pages_dir)
+            )
+            pair_cost = time.monotonic() - t_pair0
+            scaling = assemble(low_samples, high_samples, None, skipped)
+            result["scaling"] = scaling
+            emit("scaling_rep1")
+            # remaining interleaved reps: each costs ~pair_cost; skip (and
+            # say so) rather than blow the budget — a one-rep pair with
+            # numbers beats a two-rep pair the driver never sees
+            for r in range(1, reps):
+                if remaining() < 1.2 * pair_cost:
+                    skipped.append(
+                        f"rep{r + 1} (pair_cost {round(pair_cost, 1)}s > "
+                        f"remaining {round(remaining(), 1)}s)"
+                    )
+                    break
                 low_samples.append(
                     run_level(low, repeats=1, scale_docs=True,
                               pages_dir=pages_dir)
@@ -577,73 +689,37 @@ def main():
                     run_level(high, repeats=1, scale_docs=True,
                               pages_dir=pages_dir)
                 )
+                scaling = assemble(low_samples, high_samples, None, skipped)
+                result["scaling"] = scaling
+                emit(f"scaling_rep{r + 1}")
+            # iso-package-load UPPER BOUND (once): n_conc concurrent
+            # local[low] instances — per-node-fair on hardware share but 4×
+            # the per-JVM overhead, so it brackets the cluster value from
+            # above as the sequential pair brackets it from below (the
+            # idle-box low level gets the whole socket's turbo/bandwidth).
+            # Reported separately, never mixed into the fresh pair. Cost ≈
+            # the slowest of n_conc concurrent low-level runs ≈ one
+            # low+high pair; budget-gated like the reps.
             if os.environ.get("BENCH_SCALE_ISO", "1") != "0":
-                # iso-package-load UPPER BOUND (once): n_conc concurrent
-                # local[low] instances — per-node-fair on hardware share
-                # but 4× the per-JVM overhead, so it brackets the cluster
-                # value from above as the sequential pair brackets it from
-                # below (the idle-box low level gets the whole socket's
-                # turbo/bandwidth). Reported separately, never mixed into
-                # the fresh pair.
-                iso = run_level_quad(low, n_conc, pages_dir=pages_dir)
+                if remaining() < 1.3 * pair_cost:
+                    skipped.append(
+                        f"iso_load (est {round(1.3 * pair_cost, 1)}s > "
+                        f"remaining {round(remaining(), 1)}s)"
+                    )
+                else:
+                    iso = run_level_quad(low, n_conc, pages_dir=pages_dir)
         finally:
             import shutil
 
             shutil.rmtree(pages_dir, ignore_errors=True)
-        ft_low_fresh = _fresh_best(low_samples)
-        ft_high_fresh = _fresh_best(high_samples)
-        # history best-per-level stays as the secondary (engine-capability)
-        # table; every fresh sample is appended to history
-        ft_low = _best_of_history(low_samples)
-        ft_high = _best_of_history(high_samples)
-        factor = high / low
-
-        def eff(hi: dict, lo: dict, key: str) -> float:
-            return round((hi[key] / lo[key]) / factor, 3)
-
-        scaling = {
-            "low": ft_low,
-            "high": ft_high,
-            "build_efficiency": eff(ft_high, ft_low, "build_docs_per_sec"),
-            "query_efficiency": eff(ft_high, ft_low, "queries_per_sec"),
-            "fresh": {
-                "low": ft_low_fresh,
-                "high": ft_high_fresh,
-                "build_efficiency": eff(
-                    ft_high_fresh, ft_low_fresh, "build_docs_per_sec"
-                ),
-                "query_efficiency": eff(
-                    ft_high_fresh, ft_low_fresh, "queries_per_sec"
-                ),
-            },
-        }
-        if iso is not None:
-            scaling["iso_load"] = {
-                "low": iso,
-                "build_efficiency": eff(
-                    ft_high_fresh, iso, "build_docs_per_sec"
-                ),
-                "query_efficiency": eff(
-                    ft_high_fresh, iso, "queries_per_sec"
-                ),
-            }
+        scaling = assemble(low_samples, high_samples, iso, skipped)
+        result["scaling"] = scaling
+        ft_high = scaling["high"]
+        ft_low = scaling["low"]
         _write_baseline_md(ft_high, ft_low, scaling, high, low)
 
-    total = round(time.monotonic() - t_total, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "queries_detail": queries_detail,
-                "sf": sf,
-                "fulltext": fulltext,
-                "scaling": scaling,
-            }
-        )
-    )
+    result["scaling"] = scaling
+    emit("final")
 
 
 def _pregen_pages(cpus: int, n_docs: int, vocab: int, out_dir: str) -> None:
@@ -685,7 +761,12 @@ def _fresh_best(samples: list[dict]) -> dict:
 
 def _best_of_history(samples: list[dict]) -> dict:
     """Append this run's level samples to BENCH/history.jsonl and return the
-    best throughput observed for (cpus, n_docs, n_queries) across history."""
+    best throughput observed for (cpus, n_docs, n_queries) across history.
+    Entries tagged ``"seeded": true`` (hand-recorded controlled/quiet-window
+    measurements) are kept in the file for provenance but EXCLUDED here —
+    the best-per-level table reports uncontrolled harness runs only
+    (VERDICT r3: mixing seeded rows into the headline table is
+    cherry-picking)."""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
     with open(hist_path, "a") as f:
@@ -703,6 +784,8 @@ def _best_of_history(samples: list[dict]) -> dict:
         try:
             r = json.loads(line)
         except json.JSONDecodeError:
+            continue
+        if r.get("seeded"):
             continue
         if (r.get("cpus"), r.get("n_docs"), r.get("n_queries"),
                 r.get("build_layout"), r.get("n_conc")) != key:
@@ -735,6 +818,11 @@ which a cluster at size N does not do.
 """
     else:
         iso_md = ""
+    skipped = scaling.get("skipped") or []
+    skipped_md = (
+        "\nBudget-skipped steps this run (BENCH_TIME_BUDGET): "
+        + "; ".join(skipped) + ".\n"
+    ) if skipped else ""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path, "w") as f:
@@ -744,8 +832,9 @@ Same job (synthetic Zipf pages → SPIMI index build → BM25 top-10 batch) at
 two local parallelism levels on identical input, per BASELINE.json's
 two-cluster-size rule (`local[{low_cpus}]` vs `local[{cpus}]`).
 
-Best-per-level across BENCH/history.jsonl (the engine's measurement —
-noisy-neighbor defense below):
+Best-per-level across BENCH/history.jsonl, uncontrolled harness runs only
+(entries tagged `"seeded": true` — hand-recorded quiet-window samples — are
+kept in the file for provenance but excluded from this table):
 
 | metric | local[{low_cpus}] | local[{cpus}] | efficiency ((hi/lo)/{cpus//low_cpus}) |
 |---|---|---|---|
@@ -754,13 +843,13 @@ noisy-neighbor defense below):
 
 Fresh single-run pair — measured INTERLEAVED (low,high,low,high) in THIS
 run, best-of-{fresh['low']['build_stats']['n']} per level, cold page cache
-at every level start, every sample + steal%%/iowait%% in the JSON artifact:
+at every level start, every sample + steal%/iowait% in the JSON artifact:
 
 | metric | local[{low_cpus}] | local[{cpus}] | efficiency |
 |---|---|---|---|
 | index build docs/sec | {fresh['low']['build_docs_per_sec']} | {fresh['high']['build_docs_per_sec']} | {fresh['build_efficiency']} |
 | BM25 top-10 queries/sec | {fresh['low']['queries_per_sec']} | {fresh['high']['queries_per_sec']} | {fresh['query_efficiency']} |
-
+{skipped_md}
 **Why the sequential pair UNDERSTATES cluster scaling (measured):** on a
 real cluster, size N and size 4N have IDENTICAL per-node conditions (same
 executors per node, same share of each node's DRAM bandwidth and turbo
@@ -772,20 +861,19 @@ same instance under full-package load (2642 vs ~1052 docs/s/instance).
 The sequential pair is therefore a LOWER bound on cluster efficiency.
 {iso_md}
 The cluster-expected value lies between the two bounds; both are reported
-every run, with per-sample steal%%/iowait%%/bandwidth so interference is
+every run, with per-sample steal%/iowait%/bandwidth so interference is
 visible in the artifact.
 
-**Engine capability — controlled measurements (round 3, quiet windows,
-conditions instrumented):** these are the same jobs as above, run
-standalone with /proc/stat steal context; they bound what the numbers
-above CAN be when the shared host cooperates.
+**Engine capability — CONTROLLED measurements (round 3, quiet windows,
+conditions instrumented; the seeded/controlled companion to the
+uncontrolled tables above, never mixed into them):**
 
 | measurement | result |
 |---|---|
 | local[32] build, 100k docs / 50k vocab | 9.6 s aligned (10 417 docs/s); 12.3 s shuffle — the r2 driver measured 77.2 s |
 | local[8] vs local[2] shuffle build, 300k docs | best pair 39.2 s vs 155.7 s ⇒ 1 927 → 7 653 docs/s, efficiency 0.99; typical quiet range 2 400-2 650 → 5 300-7 650 ⇒ 0.55-0.80 |
-| per-phase scaling (Arrow stages) | tokenize 26.4→12.6 s, segments 55.3→25.2 s (2→8 cores, steal <1%%) |
-| bad-window signature | an 8-core level at 155 s (4× its capability) with steal 0.8%% AND iowait 2.2%% — host memory-controller contention, which only the bandwidth probe exposes |
+| per-phase scaling (Arrow stages) | tokenize 26.4→12.6 s, segments 55.3→25.2 s (2→8 cores, steal <1%) |
+| bad-window signature | an 8-core level at 155 s (4× its capability) with steal 0.8% AND iowait 2.2% — host memory-controller contention, which only the bandwidth probe exposes |
 
 A single uncontrolled run of this file samples ONE window of a shared
 host; the per-level steal/iowait/bandwidth numbers say which kind of
@@ -826,7 +914,7 @@ is the FASTER engine at equal resources (local[32], 100k docs: 9.6 s vs
 12.3 s shuffle) — it loses the single-box ratio game precisely because its
 low level is too fast. The query batch is
 sized for steady-state throughput: per-job fixed costs (scheduling,
-broadcast, final merge ≈8 s) are parallelism-independent Amdahl overhead —
+broadcast, final merge) are parallelism-independent Amdahl overhead —
 going 10k→30k queries leaves the 2-core level unchanged (111.4 vs 111.3
 q/s, compute-bound) while the 8-core level amortizes the fixed cost
 (345.9→369.2 q/s), so the larger batch measures the engine, not job launch.

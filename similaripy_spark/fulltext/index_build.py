@@ -62,7 +62,7 @@ from similaripy_spark.fulltext.commit import (
     resolve_artifact_multi,
 )
 from similaripy_spark.fulltext.postings import build_postings
-from similaripy_spark.fulltext.weights import bm25_weights
+from similaripy_spark.fulltext.weights import bm25_tf_part, bm25_weights
 
 BLOCK_SIZE = 128
 
@@ -333,6 +333,7 @@ class IndexBuilder:
         commit: CommitProtocol | None = None,
         input_layout: str = "shuffle",
         encoder: str = "arrow",
+        weight_scheme: str = "factored",
     ):
         if encoder not in ("arrow", "pandas"):
             raise ValueError(f"encoder must be 'arrow' or 'pandas', got {encoder!r}")
@@ -340,6 +341,11 @@ class IndexBuilder:
             raise ValueError(
                 f"input_layout must be 'shuffle' or 'aligned', got "
                 f"{input_layout!r}"
+            )
+        if weight_scheme not in ("factored", "prod"):
+            raise ValueError(
+                f"weight_scheme must be 'factored' or 'prod', got "
+                f"{weight_scheme!r}"
             )
         #: all artifact publishes go through the commit protocol — the
         #: local-FS rename backend here, an object-store pointer-swap
@@ -360,12 +366,23 @@ class IndexBuilder:
         #: crawl table stored with Iceberg bucket/range partitioning on the
         #: doc id, or generate_pages(align_to=shard_size)) — the build then
         #: runs WITHOUT any wide exchange of the postings stream: map-side
-        #: postings → broadcast term-stats join → sortWithinPartitions →
-        #: encode. Requires a memory-bounded vocabulary (forced broadcast);
-        #: a violated layout contract is caught at commit time by the
-        #: duplicate-block check, failing the build instead of silently
-        #: corrupting posting lists.
+        #: postings → weighting → sortWithinPartitions → encode. A violated
+        #: layout contract is caught at commit time by the duplicate-block
+        #: check, failing the build instead of silently corrupting posting
+        #: lists.
         self.input_layout = input_layout
+        #: 'factored' (default): blocks store only the doc-local BM25
+        #: factor (tf saturation × length norm); the term-global idf is
+        #: applied at query time from term_stats — the reference's own
+        #: stats-pass/weight-pass separation (normalization.pyx:309-334).
+        #: The segment job then needs NO term-stats aggregate or join at
+        #: all: its only wide exchange is the doc→shard repartition (none
+        #: on the aligned layout), and the vocabulary never has to fit in
+        #: memory anywhere — web-scale-safe on BOTH layouts. 'prod' stores
+        #: idf×tf products in the blocks (round-3 format; query-time idf
+        #: not needed, but the build pays a vocabulary-sized stats join and
+        #: aligned mode must broadcast it).
+        self.weight_scheme = weight_scheme
 
     # --- lineage helpers --------------------------------------------------
     def _lineage_path(self, group: int) -> str:
@@ -439,21 +456,38 @@ class IndexBuilder:
             else:
                 meta = self.commit.read_json(meta_path)
                 self.shard_size = int(meta["shard_size"])
+                # a resumed build must keep the committed groups' scheme —
+                # mixing factored and product blocks in one index would be
+                # silently wrong at query time
+                self.weight_scheme = meta.get("weight_scheme", "prod")
             n_shards = int(meta["n_shards"])
 
             done = self.committed_groups() if resume else set()
             pending = [g for g in range(self.n_groups) if g not in done]
             if pending:
-                weighted = bm25_weights(
-                    postings,
-                    k1=self.k1,
-                    b=self.b,
-                    n_docs=int(meta["n_docs"]),
-                    avgdl=float(meta["avgdl"]),
-                    # aligned mode must not let the stats join re-hash the
-                    # postings stream (see _segment_plan)
-                    broadcast_stats=self.input_layout == "aligned",
-                ).withColumn(
+                if self.weight_scheme == "factored":
+                    # doc-local factor only — no term-stats aggregate, no
+                    # join: the weighting stage is map-side on BOTH
+                    # layouts, and the aligned path keeps its narrow
+                    # lineage without any broadcast
+                    weighted = bm25_tf_part(
+                        postings,
+                        k1=self.k1,
+                        b=self.b,
+                        avgdl=float(meta["avgdl"]),
+                    )
+                else:
+                    weighted = bm25_weights(
+                        postings,
+                        k1=self.k1,
+                        b=self.b,
+                        n_docs=int(meta["n_docs"]),
+                        avgdl=float(meta["avgdl"]),
+                        # aligned mode must not let the stats join re-hash
+                        # the postings stream (see _segment_plan)
+                        broadcast_stats=self.input_layout == "aligned",
+                    )
+                weighted = weighted.withColumn(
                     "shard", (F.col("doc_id") / self.shard_size).cast("int")
                 )
                 if fail_after_groups is not None:
@@ -530,6 +564,7 @@ class IndexBuilder:
             "n_groups": self.n_groups,
             "lang": self.lang,
             "input_layout": self.input_layout,
+            "weight_scheme": self.weight_scheme,
         }
         self.commit.publish_json(
             os.path.join(self.index_dir, "meta.json"), meta
@@ -733,14 +768,23 @@ def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     seg_dir = os.path.join(index_dir, "segments")
     named = resolve_artifact_multi(seg_dir, "group=")
     if named is not None:
+        # explicit schema: avoids a per-location inference job AND handles
+        # a group whose shard range is empty (its committed location holds
+        # no parquet files — fewer shards than groups, e.g. tiny corpora)
         parts = [
-            spark.read.parquet(loc)
+            spark.read.schema(SEGMENT_SCHEMA).parquet(loc)
             .withColumn(
                 "group",
                 F.lit(int(name.split("=", 1)[1])).cast("int"),
             )
             for name, loc in named
+            if os.path.isdir(loc)
         ]
+        if not parts:
+            return (
+                spark.createDataFrame([], SEGMENT_SCHEMA)
+                .withColumn("group", F.lit(None).cast("int"))
+            )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -752,8 +796,20 @@ def read_meta(index_dir: str) -> dict:
     return json.load(open(os.path.join(index_dir, "meta.json")))
 
 
+#: static — pinned so readers skip the per-call schema-inference job
+#: (visible as a driver job per query batch otherwise)
+TERM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), True),
+        T.StructField("df", T.LongType(), True),
+        T.StructField("max_weight", T.FloatType(), True),
+        T.StructField("min_weight", T.FloatType(), True),
+    ]
+)
+
+
 def read_term_stats(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(
+    return spark.read.schema(TERM_STATS_SCHEMA).parquet(
         resolve_artifact(os.path.join(index_dir, "term_stats"))
     )
 

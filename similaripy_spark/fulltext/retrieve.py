@@ -98,6 +98,8 @@ def topk(
             k=k,
             shard_ids=range(int(meta["n_shards"])),
             query_weighted=query_weighted,
+            index_dir=index_dir,
+            weight_scheme=meta.get("weight_scheme", "prod"),
         )
     if path == "term_major":
         return term_major_topk(spark, index_dir, queries, k=k)

@@ -65,9 +65,18 @@ class _ShardIndex:
     terms per shard, which dominated the first implementation). Blocks of a
     term are stored as contiguous row slices in (shard, block_id) order, so
     docIDs stay globally ascending even in the term-major merged layout.
+
+    ``idf``: term → multiplier for FACTORED indexes (blocks store only the
+    doc-local BM25 factor; meta.json weight_scheme='factored'). Decoded
+    weights are scaled per term and block/term score bounds are adjusted —
+    the stored tf-part is strictly positive, so a negative idf (unclamped
+    reference semantics, df > N/2) flips each bound to the opposite
+    extreme: effective max = idf × stored_min, effective min = idf ×
+    stored_max. All three scorers then run unchanged and stay exact.
     """
 
-    def __init__(self, seg: pd.DataFrame):
+    def __init__(self, seg: pd.DataFrame, idf: dict | None = None):
+        self._idf = idf
         codes, uniques = pd.factorize(seg["term"], sort=False)
         order = np.lexsort(
             (seg["block_id"].to_numpy(), seg["shard"].to_numpy(), codes)
@@ -92,18 +101,35 @@ class _ShardIndex:
         return self._slice.keys()
 
     def term_meta(self, term):
-        """(tmax, tmin, block first_docs, max_docs, max_scores) or None."""
+        """(tmax, tmin, block first_docs, max_docs, max_scores) or None.
+        Factored indexes: bounds are idf-adjusted here so the MaxScore
+        pruning logic stays oblivious to the storage scheme."""
         se = self._slice.get(term)
         if se is None:
             return None
         s, e = se
-        return (
-            float(self._maxs[s:e].max()),
-            float(self._mins[s:e].min()),
-            self._first[s:e],
-            self._maxd[s:e],
-            self._maxs[s:e],
-        )
+        if self._idf is None:
+            return (
+                float(self._maxs[s:e].max()),
+                float(self._mins[s:e].min()),
+                self._first[s:e],
+                self._maxd[s:e],
+                self._maxs[s:e],
+            )
+        i = float(self._idf.get(term, 0.0))
+        # bounds stay float64: a float32 round-down of an upper bound could
+        # make block skipping inexact
+        if i >= 0.0:
+            tmax = i * float(self._maxs[s:e].max())
+            tmin = i * float(self._mins[s:e].min())
+            bmaxs = i * self._maxs[s:e].astype(np.float64)
+        else:
+            # stored bounds are positive tf-parts: a negative multiplier
+            # maps stored min → effective max and vice versa
+            tmax = i * float(self._mins[s:e].min())
+            tmin = i * float(self._maxs[s:e].max())
+            bmaxs = i * self._mins[s:e].astype(np.float64)
+        return (tmax, tmin, self._first[s:e], self._maxd[s:e], bmaxs)
 
     def _decode_rows(self, rows: np.ndarray):
         """Bulk-decode arbitrary block rows in one vectorized pass
@@ -121,8 +147,9 @@ class _ShardIndex:
         return docs, weights
 
     def decode_blocks(self, term, block_mask: np.ndarray | None = None):
-        """→ (docs int64 asc, weights float64) for selected blocks.
-        Full-term decodes are memoized."""
+        """→ (docs int64 asc, weights float64) for selected blocks; weights
+        are idf-scaled on factored indexes. Full-term decodes are
+        memoized (scaled — idf is fixed for this instance)."""
         s, e = self._slice[term]
         if block_mask is None:
             hit = self._cache.get(term)
@@ -131,14 +158,18 @@ class _ShardIndex:
             rows = np.arange(s, e)
         else:
             rows = np.arange(s, e)[block_mask]
-        out = self._decode_rows(rows)
+        docs, weights = self._decode_rows(rows)
+        if self._idf is not None:
+            weights = weights * float(self._idf.get(term, 0.0))
+        out = (docs, weights)
         if block_mask is None:
             self._cache[term] = out
         return out
 
     def decode_terms(self, terms):
         """Bulk decode many terms at once → (docs, weights, spans) where
-        spans[term] = (start, end) into the returned arrays."""
+        spans[term] = (start, end) into the returned arrays; weights are
+        idf-scaled per span on factored indexes."""
         spans = {}
         row_parts = []
         pos = 0
@@ -154,6 +185,9 @@ class _ShardIndex:
         if not row_parts:
             return np.zeros(0, np.int64), np.zeros(0, np.float64), spans
         docs, weights = self._decode_rows(np.concatenate(row_parts))
+        if self._idf is not None:
+            for t, (p0, p1) in spans.items():
+                weights[p0:p1] *= float(self._idf.get(t, 0.0))
         return docs, weights, spans
 
 
@@ -306,6 +340,68 @@ _EMPTY_RESULT = {
 }
 
 
+def _attach_idfs(queries: DataFrame, idf_df: DataFrame) -> DataFrame:
+    """queries(query_id, terms, ...) → + ``idfs`` array<double> positionally
+    aligned with ``terms`` (factored indexes: the per-term idf the scorers
+    multiply into the stored doc-local factors).
+
+    Distributed by construction: explode the (tiny) query side, join the
+    V-row idf table — AQE broadcast-converts it when small, shuffle-joins at
+    web-scale vocabularies — and regroup by position. Terms absent from the
+    index get idf 0 (they match no postings anyway)."""
+    idfs = (
+        queries.select(
+            "query_id", F.posexplode("terms").alias("pos", "term")
+        )
+        .join(idf_df, "term", "left")
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "idf"))),
+                lambda s: F.coalesce(s["idf"], F.lit(0.0)),
+            ).alias("idfs")
+        )
+    )
+    return queries.join(idfs, "query_id", "left")
+
+
+def _idf_map_from_pdf(terms_col, idfs_col) -> dict:
+    """Per-task idf lookup from the annotated query arrays."""
+    idf: dict = {}
+    for ts, vs in zip(terms_col, idfs_col):
+        if vs is None:
+            continue
+        idf.update(zip(ts, vs))
+    return idf
+
+
+def _index_is_factored(index_dir: str) -> bool:
+    from similaripy_spark.fulltext.index_build import read_meta
+
+    return read_meta(index_dir).get("weight_scheme", "prod") == "factored"
+
+
+def _index_idf_table(spark, index_dir: str) -> DataFrame:
+    """(term, idf) for a factored index — term_stats df × the meta n_docs."""
+    from similaripy_spark.fulltext.index_build import (
+        read_meta,
+        read_term_stats,
+    )
+    from similaripy_spark.fulltext.weights import idf_table
+
+    return idf_table(
+        read_term_stats(spark, index_dir),
+        int(read_meta(index_dir)["n_docs"]),
+    )
+
+
+#: score+match grid budget per worker (bytes): the two per-chunk dense
+#: grids must stay L3-resident PER CORE on a fully loaded socket — 1.2 MB
+#: lands chunk=16 at the default 4.7k-doc shard span (measured optimum;
+#: sweep in _score_batch). Override per-run with SIMILARIPY_SCORER_CHUNK.
+_GRID_TARGET_BYTES = 1_200_000
+
+
 def _score_batch(
     idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int | None = None,
     query_weighted: bool = False,
@@ -381,12 +477,24 @@ def _score_batch(
     span = int(docs.max()) - d_min + 1
     local = docs - d_min
     if chunk is None:
-        # Default 256 queries/chunk; override with SIMILARIPY_SCORER_CHUNK.
-        # Round-1 measured exact L3 sizing slower because the per-chunk
-        # PYTHON term loop dominated; that loop is now vectorized (ranges
-        # gather), so smaller, cache-resident grids are back on the table —
-        # the bench re-measures this trade.
-        chunk = int(os.environ.get("SIMILARIPY_SCORER_CHUNK", "256"))
+        env = os.environ.get("SIMILARIPY_SCORER_CHUNK")
+        if env is not None:
+            chunk = int(env)
+        else:
+            # Cache-resident grids: the per-chunk score+match grids
+            # (chunk × span × 8 B × 2) are zeroed, scattered into, and
+            # re-read every chunk — total grid traffic is n_q × span,
+            # INDEPENDENT of chunk size, so the only lever is where that
+            # traffic lands. Sized per-core-L3-resident it never touches
+            # DRAM; at the old fixed chunk=256 (≈19 MB of grid per worker
+            # at 4.7k-doc shards) it all did, and the scorer was the
+            # engine's DRAM-bandwidth hog. Measured, 300k-doc corpus, 30k
+            # queries: local[8] 118.8 s → 78.5 s (chunk 256 → 16, +34%
+            # throughput); local[2] improves 21%, and the 2→8-core query
+            # scaling pair goes 0.75 → ~0.90 because 8 concurrent workers
+            # no longer fight for the socket's memory bandwidth. Sweep:
+            # 256→118.8, 64→85.2, 32→84.5, 16→78.5, 8→79.3, 4→116.3 s.
+            chunk = int(max(8, min(256, _GRID_TARGET_BYTES // (span * 16))))
 
     out_parts = []
     for c0 in range(0, n_q, chunk):
@@ -461,6 +569,7 @@ def segment_topk(
     shard_ids=None,
     query_weighted: bool = False,
     index_dir: str | None = None,
+    weight_scheme: str | None = None,
 ) -> DataFrame:
     """queries(query_id, terms) × doc-sharded segments → global top-k
     (query_id, doc_id, score, rank).
@@ -476,6 +585,14 @@ def segment_topk(
     ``index_dir`` (the shard count is read from ``meta.json``, a driver-side
     file read — no job). Only a bare-DataFrame call with neither falls back
     to a shard-discovery ``distinct().collect()`` job.
+
+    Weight scheme: a FACTORED index (meta.json weight_scheme='factored' —
+    the default build) stores only the doc-local BM25 factor; this function
+    then annotates the query batch with per-term idf from term_stats and
+    the scorers apply it during decode. Resolution: explicit
+    ``weight_scheme`` wins, else ``index_dir``'s meta, else 'prod'
+    (round-3 format). Factored scoring needs ``index_dir`` (for term_stats
+    + n_docs).
     """
     if batch is None:
         batch = True
@@ -490,10 +607,31 @@ def segment_topk(
             "parallel to `terms`"
         )
     spark = segments.sparkSession
-    if shard_ids is None and index_dir is not None:
+    meta = None
+    if index_dir is not None:
         from similaripy_spark.fulltext.index_build import read_meta
 
-        shard_ids = range(int(read_meta(index_dir)["n_shards"]))
+        meta = read_meta(index_dir)
+    if weight_scheme is None:
+        weight_scheme = (meta or {}).get("weight_scheme", "prod")
+    factored = weight_scheme == "factored"
+    if factored:
+        if meta is None:
+            raise ValueError(
+                "weight_scheme='factored' scoring needs index_dir (for "
+                "term_stats and n_docs)"
+            )
+        from similaripy_spark.fulltext.index_build import read_term_stats
+        from similaripy_spark.fulltext.weights import idf_table
+
+        queries = _attach_idfs(
+            queries,
+            idf_table(
+                read_term_stats(spark, index_dir), int(meta["n_docs"])
+            ),
+        )
+    if shard_ids is None and meta is not None:
+        shard_ids = range(int(meta["n_shards"]))
     if shard_ids is None:
         # last resort (bare-DataFrame caller, no index_dir): distinct shard
         # ids are tiny (n_docs / shard_size) but this IS a Spark job —
@@ -502,7 +640,11 @@ def segment_topk(
             r["shard"] for r in segments.select("shard").distinct().collect()
         ]
     shards = spark.createDataFrame([(int(s),) for s in shard_ids], "shard int")
-    qcols = ["query_id", "terms"] + (["weights"] if query_weighted else [])
+    qcols = (
+        ["query_id", "terms"]
+        + (["weights"] if query_weighted else [])
+        + (["idfs"] if factored else [])
+    )
     qx = queries.select(*qcols).crossJoin(F.broadcast(shards))
 
     def score_shard(seg_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -512,7 +654,11 @@ def segment_topk(
                  "doc_id": pd.Series(dtype="int64"),
                  "score": pd.Series(dtype="float64")}
             )
-        idx = _ShardIndex(seg_pdf)
+        idf = (
+            _idf_map_from_pdf(q_pdf["terms"], q_pdf["idfs"])
+            if factored else None
+        )
+        idx = _ShardIndex(seg_pdf, idf=idf)
         if batch:
             return _score_batch(idx, q_pdf, k, query_weighted=query_weighted)
         out_q, out_d, out_s = [], [], []
@@ -576,6 +722,10 @@ def term_major_topk(
     if n_buckets is None:
         n_buckets = merged_n_buckets(index_dir)
     qterms = queries.select("query_id", F.explode("terms").alias("term"))
+    factored = _index_is_factored(index_dir)
+    if factored:
+        qterms = qterms.join(_index_idf_table(spark, index_dir), "term",
+                             "left")
     dterms = qterms.select("term").distinct()
     term_rows = dterms.limit(max_pruned_terms + 1).collect()
     if len(term_rows) <= max_pruned_terms:
@@ -590,7 +740,14 @@ def term_major_topk(
     def score_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
         seg = pdf.drop_duplicates(subset=["term", "shard", "block_id"])
-        idx = _ShardIndex(seg)
+        idf = None
+        if "idf" in pdf.columns:
+            idf = {
+                t: (0.0 if v is None or (isinstance(v, float) and v != v)
+                    else float(v))
+                for t, v in zip(pdf["term"], pdf["idf"])
+            }
+        idx = _ShardIndex(seg, idf=idf)
         uterms = list(dict.fromkeys(pdf["term"]))
         if prune:
             docs, scores = _score_maxscore(idx, uterms, k)
@@ -684,6 +841,10 @@ def bucket_topk(
         .distinct()
         .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
     )
+    if _index_is_factored(index_dir):
+        qterms = qterms.join(
+            _index_idf_table(spark, index_dir), "term", "left"
+        )
     if prune:
         return _bucket_topk_pruned(
             spark, index_dir, merged, qterms, k, n_buckets
@@ -724,7 +885,14 @@ def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
     spans (ADVICE r2)."""
     if q_pdf.empty or seg_pdf.empty:
         return pd.DataFrame(_EMPTY_RESULT)
-    idx = _ShardIndex(seg_pdf)
+    idf = None
+    if "idf" in q_pdf.columns:
+        idf = {
+            t: (0.0 if v is None or (isinstance(v, float) and v != v)
+                else float(v))
+            for t, v in zip(q_pdf["term"], q_pdf["idf"])
+        }
+    idx = _ShardIndex(seg_pdf, idf=idf)
     uterms = list(dict.fromkeys(q_pdf["term"]))
     docs, weights, spans = idx.decode_terms(uterms)
     if len(docs) == 0:
@@ -798,7 +966,14 @@ def _probe_bucket(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
     doc (binary search on block metadata, then on the decoded list)."""
     if p_pdf.empty or seg_pdf.empty:
         return pd.DataFrame(_EMPTY_RESULT)
-    idx = _ShardIndex(seg_pdf)
+    idf = None
+    if "idf" in p_pdf.columns:
+        idf = {
+            t: (0.0 if v is None or (isinstance(v, float) and v != v)
+                else float(v))
+            for t, v in zip(p_pdf["term"], p_pdf["idf"])
+        }
+    idx = _ShardIndex(seg_pdf, idf=idf)
     out = []
     for t, grp in p_pdf.groupby("term"):
         meta = idx.term_meta(t)
@@ -844,11 +1019,30 @@ def essential_split(spark, index_dir: str, qterms: DataFrame, k: int):
 
     neg_inf = float("-inf")
     ts = read_term_stats(spark, index_dir)
+    factored = _index_is_factored(index_dir)
+    qterms = qterms.drop("idf")  # derived fresh below; avoids a dup column
+    if factored:
+        # stored bounds are positive tf-parts; idf-adjust them here so the
+        # pruning algebra below is scheme-oblivious (negative idf swaps the
+        # extremes, exactly as _ShardIndex.term_meta does per shard)
+        ts = ts.join(_index_idf_table(spark, index_dir), "term")
+        eff_max = F.when(
+            F.col("idf") >= 0, F.col("idf") * F.col("max_weight")
+        ).otherwise(F.col("idf") * F.col("min_weight"))
+        eff_min = F.when(
+            F.col("idf") >= 0, F.col("idf") * F.col("min_weight")
+        ).otherwise(F.col("idf") * F.col("max_weight"))
+        ts = ts.select(
+            "term", "df", "idf",
+            eff_max.cast("double").alias("max_weight"),
+            eff_min.cast("double").alias("min_weight"),
+        )
     qt = qterms.join(ts, "term")  # unhinted: AQE broadcasts when small
     ub = F.greatest(F.col("max_weight").cast("double"), F.lit(0.0))
     lb = F.least(F.col("min_weight").cast("double"), F.lit(0.0))
     qt = qt.select(
         "query_id", "term", "bucket", "df",
+        *(["idf"] if factored else []),
         ub.alias("ub"), lb.alias("lb"),
         F.col("min_weight").cast("double").alias("minw"),
     )
@@ -888,10 +1082,13 @@ def _bucket_topk_pruned(
 
     neg_inf = float("-inf")
     qt = essential_split(spark, index_dir, qterms, k)
+    idf_cols = ["idf"] if "idf" in qt.columns else []
 
-    ess = qt.filter("essential").select("query_id", "term", "bucket")
+    ess = qt.filter("essential").select(
+        "query_id", "term", "bucket", *idf_cols
+    )
     ne = qt.filter(~F.col("essential")).select(
-        "query_id", "term", "bucket", "ub", "lb"
+        "query_id", "term", "bucket", "ub", "lb", *idf_cols
     )
     bounds_ne = ne.groupBy("query_id").agg(
         F.sum("ub").alias("ub_ne"), F.sum("lb").alias("lb_ne")
@@ -931,7 +1128,7 @@ def _bucket_topk_pruned(
 
     # phase 3: probe non-essential terms for the candidates only
     probe_in = cand.select("query_id", "doc_id").join(
-        ne.select("query_id", "term", "bucket"), "query_id"
+        ne.select("query_id", "term", "bucket", *idf_cols), "query_id"
     )
     ne_blocks = merged.join(
         ne.select("term").distinct(), "term", "left_semi"

@@ -80,3 +80,58 @@ def bm25_weights(
     return p.select(
         "doc_id", "term", "tf", "dl", weight.alias("weight")
     )
+
+
+def bm25_tf_part(
+    postings: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    delta: float = 0.0,
+    tf_mode: str = "raw",
+    avgdl: float = None,
+    logbase: float = math.e,
+) -> DataFrame:
+    """postings(doc_id, term, tf, dl) → + (weight double), where weight is
+    the DOC-LOCAL factor of BM25 only:
+
+        weight = tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl)) + delta
+
+    The term-global idf factor is applied at QUERY time from term_stats
+    (BM25 = idf(t) × this value — same factoring as the reference's
+    separate stats pass vs weighting pass, normalization.pyx:309-334).
+    This is the weighting pass of the ``weight_scheme='factored'`` index
+    build: it needs NO term-stats aggregate and NO join — not even an
+    unhinted one — so the segment job's only wide exchange is the doc→shard
+    repartition (zero exchange on the aligned layout), and the
+    bounded-vocabulary broadcast the aligned path used to require is gone
+    entirely. ``avgdl`` must be supplied (the builder has it from
+    doc_stats); it is a corpus scalar, not a vocabulary-sized table."""
+    if avgdl is None:
+        raise ValueError("bm25_tf_part requires the avgdl corpus scalar")
+    tf_ = tf_expr(
+        F.col("tf").cast("double"), F.col("dl").cast("double"), tf_mode,
+        logbase,
+    )
+    norm_dl = (1.0 - b) + b * F.col("dl").cast("double") / float(avgdl)
+    weight = tf_ * (k1 + 1.0) / (tf_ + k1 * norm_dl) + delta
+    return postings.select(
+        "doc_id", "term", "tf", "dl", weight.alias("weight")
+    )
+
+
+def idf_table(
+    term_stats: DataFrame,
+    n_docs: int,
+    idf_mode: str = "bm25",
+    logbase: float = math.e,
+) -> DataFrame:
+    """term_stats(term, df, ...) → (term, idf double): the query-time side
+    of the factored scheme. V rows, computed once per query batch — joined
+    against the (tiny) exploded query terms, never against postings."""
+    return term_stats.select(
+        "term",
+        idf_expr(
+            F.col("df").cast("double"), F.lit(float(n_docs)), idf_mode,
+            logbase,
+        ).alias("idf"),
+    )

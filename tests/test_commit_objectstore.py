@@ -47,7 +47,7 @@ def _query_pdf(spark, d):
     n_shards = read_meta(d)["n_shards"]
     return (
         segment_topk(read_segments(spark, d), q, k=10,
-                     shard_ids=list(range(n_shards)))
+                     shard_ids=list(range(n_shards)), index_dir=d)
         .orderBy("query_id", "rank")
         .toPandas()
     )

@@ -116,7 +116,8 @@ def test_segment_query_matches_sql_path(spark, built, mode):
         batch=(mode == "batch"), prune=(mode == "maxscore")
     )
     got = (
-        segment_topk(read_segments(spark, d), queries, k=10, **kwargs)
+        segment_topk(read_segments(spark, d), queries, k=10, index_dir=d,
+                     **kwargs)
         .toPandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
@@ -152,25 +153,33 @@ def test_segment_query_weighted_matches_sql_path(spark, built):
     )
     got = (
         segment_topk(read_segments(spark, d), queries, k=10,
-                     query_weighted=True)
+                     query_weighted=True, index_dir=d)
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert list(got["doc_id"]) == list(expected["doc_id"])
     np.testing.assert_allclose(got["score"], expected["score"], rtol=1e-4)
     with pytest.raises(ValueError):
         segment_topk(read_segments(spark, d), queries, k=10,
-                     query_weighted=True, batch=False)
+                     query_weighted=True, batch=False, index_dir=d)
 
 
 def test_segment_topk_shard_ids_param(spark, built):
     """Passing the known shard list (range(n_shards)) must match the
-    discovered-shards default — the param only skips a driver job."""
+    discovered-shards default — the param only changes shard ENUMERATION.
+    Both calls force weight_scheme='prod' (raw stored factors, no idf) so
+    the bare-DataFrame discovery fallback is exercisable on the factored
+    fixture index; the assertion compares the two enumeration paths, not
+    BM25 semantics (covered elsewhere)."""
     d, meta, pages = built
     queries = spark.createDataFrame(generate_queries_pandas(10, vocab_size=VOCAB))
     seg = read_segments(spark, d)
-    a = segment_topk(seg, queries, k=10).orderBy("query_id", "rank").collect()
+    a = (
+        segment_topk(seg, queries, k=10, weight_scheme="prod")
+        .orderBy("query_id", "rank").collect()
+    )
     b = (
-        segment_topk(seg, queries, k=10, shard_ids=range(meta["n_shards"]))
+        segment_topk(seg, queries, k=10, shard_ids=range(meta["n_shards"]),
+                     weight_scheme="prod")
         .orderBy("query_id", "rank")
         .collect()
     )
@@ -194,11 +203,71 @@ def test_segment_topk_index_dir_runs_no_discovery_job(spark, built):
 
     a = df.orderBy("query_id", "rank").collect()
     b = (
-        segment_topk(seg, queries, k=10, shard_ids=range(meta["n_shards"]))
+        segment_topk(seg, queries, k=10, shard_ids=range(meta["n_shards"]),
+                     index_dir=d)
         .orderBy("query_id", "rank")
         .collect()
     )
     assert a == b
+
+
+def test_factored_vs_prod_scheme_parity(spark, tmp_path):
+    """weight_scheme='factored' (store tf-part, idf at query time — the
+    default) must be rank-identical to weight_scheme='prod' (store idf×tf
+    products, round-3 format) on the same corpus, scores equal within
+    float32-storage tolerance. The factored index stores strictly positive
+    block bounds; the prod one stores signed products — both must agree
+    through every scorer."""
+    d_f, d_p = str(tmp_path / "fac"), str(tmp_path / "prd")
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    IndexBuilder(d_f, shard_size=256, n_groups=2,
+                 weight_scheme="factored").build(pages)
+    IndexBuilder(d_p, shard_size=256, n_groups=2,
+                 weight_scheme="prod").build(pages)
+    assert read_meta(d_f)["weight_scheme"] == "factored"
+    assert read_meta(d_p)["weight_scheme"] == "prod"
+    # factored blocks hold the positive doc-local factor only
+    seg_f = read_segments(spark, d_f)
+    assert seg_f.filter(F.col("min_score") <= 0).count() == 0
+
+    queries = spark.createDataFrame(
+        generate_queries_pandas(40, vocab_size=VOCAB)
+    )
+    for mode_kwargs in (
+        dict(batch=True),
+        dict(batch=False, prune=True),
+        dict(batch=False, prune=False),
+    ):
+        a = (
+            segment_topk(read_segments(spark, d_f), queries, k=10,
+                         index_dir=d_f, **mode_kwargs)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            segment_topk(read_segments(spark, d_p), queries, k=10,
+                         index_dir=d_p, **mode_kwargs)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(a["doc_id"]) == list(b["doc_id"]), mode_kwargs
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-4)
+
+
+def test_resume_adopts_committed_scheme(spark, tmp_path):
+    """A resumed build must keep the scheme of the already-committed groups
+    even if the resuming builder was constructed with a different one —
+    mixing factored and product blocks in one index would silently corrupt
+    scores."""
+    d = str(tmp_path / "mix")
+    pages = generate_pages(spark, 600, vocab_size=800)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        IndexBuilder(d, shard_size=256, n_groups=3,
+                     weight_scheme="prod").build(pages, fail_after_groups=1)
+    b = IndexBuilder(d, shard_size=256, n_groups=3)  # default: factored
+    b.build(pages)
+    assert b.weight_scheme == "prod"
+    assert read_meta(d)["weight_scheme"] == "prod"
 
 
 def test_resume_after_injected_failure(spark, tmp_path):

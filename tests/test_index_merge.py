@@ -158,7 +158,7 @@ def test_incremental_merge_reweights_globally(spark, tmp_path):
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     got = (
-        segment_topk(read_segments(spark, dm), queries, k=10)
+        segment_topk(read_segments(spark, dm), queries, k=10, index_dir=dm)
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert list(got["doc_id"]) == list(expected["doc_id"])
@@ -240,7 +240,7 @@ def test_bucket_topk_pruned_exact_and_fires(spark, built):
     np.testing.assert_allclose(pruned["score"], exhaustive["score"], rtol=1e-9)
 
     patha = (
-        segment_topk(read_segments(spark, d), queries, k=10)
+        segment_topk(read_segments(spark, d), queries, k=10, index_dir=d)
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert list(pruned["doc_id"]) == list(patha["doc_id"])
