@@ -222,6 +222,50 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_index_topk(spark, sf_dir):
+    """BM25 top-10 through the FULL index engine: build a factored
+    SPIMI index (doc-sharded posting blocks storing the doc-local tf-part;
+    idf applied at query time from term_stats — index_build.IndexBuilder,
+    the weight_scheme='factored' default) from the documents table, query
+    it with the auto-routed front-end (retrieve.topk → segment scorer).
+
+    The index stores float32 factors, so for the hash-exact oracle compare
+    the returned (query_id, doc_id) pairs are RE-SCORED with the exact
+    float64 relational weights — rank identity of the index path vs the
+    relational path is pinned separately in tests (rtol 1e-4 grid,
+    tests/test_index.py); this entry proves the end-to-end index engine
+    selects exactly the rows the SQL oracle does. Shares _SQL_BM25_TOPK.
+    """
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    picked = retrieve.topk(spark, d, queries, k=10).select(
+        "query_id", "doc_id"
+    )
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 _SQL_BM25_TOPK = f"""
 WITH {_SQL_POSTINGS},
   stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
@@ -1214,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25plus_weights": _q_bm25plus_weights,
         "tfidf_weights": _q_tfidf_weights,
         "bm25_topk": _q_bm25_topk,
+        "bm25_index_topk": _q_bm25_index_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1290,6 +1335,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
 """,
         "tfidf_weights": _SQL_TFIDF,
         "bm25_topk": _SQL_BM25_TOPK,
+        "bm25_index_topk": _SQL_BM25_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

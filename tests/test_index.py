@@ -211,6 +211,32 @@ def test_segment_topk_index_dir_runs_no_discovery_job(spark, built):
     assert a == b
 
 
+@pytest.mark.parametrize("k", [100, 1000])
+def test_segment_query_large_k(spark, built, k):
+    """Deep paging: rank identity vs the relational path at k=100 and
+    k=1000 (beyond the reference's k default; k >= n_docs of a shard makes
+    every candidate a keeper, exercising the kk == span branch of the
+    batch scorer and the full-merge branch of MaxScore)."""
+    d, meta, pages = built
+    queries = spark.createDataFrame(
+        generate_queries_pandas(10, vocab_size=VOCAB)
+    )
+    expected = (
+        bm25_topk(bm25_weights(build_postings(pages)), queries, k=k)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    for kwargs in (dict(batch=True), dict(batch=False, prune=True)):
+        got = (
+            segment_topk(read_segments(spark, d), queries, k=k,
+                         index_dir=d, **kwargs)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == list(expected["doc_id"]), kwargs
+        np.testing.assert_allclose(got["score"], expected["score"],
+                                   rtol=1e-4)
+
+
 def test_factored_vs_prod_scheme_parity(spark, tmp_path):
     """weight_scheme='factored' (store tf-part, idf at query time — the
     default) must be rank-identical to weight_scheme='prod' (store idf×tf
