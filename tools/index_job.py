@@ -52,6 +52,12 @@ def main(argv=None):
         "fan-out)",
     )
     b.add_argument("--groups", type=int, default=64)
+    b.add_argument(
+        "--weight-scheme", choices=["factored", "prod"], default="factored",
+        help="factored (default): blocks store the doc-local BM25 factor, "
+        "idf applied at query time — no vocabulary-sized join anywhere in "
+        "the build; prod: store idf*tf products (round-3 format)",
+    )
     b.add_argument("--lang", default=None)
     b.add_argument("--no-resume", action="store_true")
 
@@ -79,6 +85,7 @@ def main(argv=None):
             shard_size=args.shard_size,
             n_groups=args.groups,
             lang=args.lang,
+            weight_scheme=args.weight_scheme,
             commit=(
                 ObjectStoreCommitProtocol() if args.commit == "pointer"
                 else None
