@@ -710,12 +710,26 @@ class IndexBuilder:
         wall_ms = int(
             (time.monotonic() - t0) * 1000 / max(len(pending), 1)
         )
+
+        # per-group stats + aligned checks are driver-side pyarrow/file-I/O
+        # (GIL-released) — run them concurrently across groups; at 64 groups
+        # the serial version is seconds of pure fixed cost that no cluster
+        # size can amortize. Commits/lineage publishes stay serial (cheap
+        # renames; deterministic publish order).
+        def inspect(g: int) -> tuple[int, tuple[int, int, int]]:
+            gsrc = os.path.join(stage_parent, f"group={g}")
+            if self.input_layout == "aligned":
+                self._check_aligned_contract(gsrc)
+            return g, self._group_footer_stats(gsrc)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(pending))) as pool:
+            stats = dict(pool.map(inspect, pending))
         for g in pending:
             gsrc = os.path.join(stage_parent, f"group={g}")
             gdir = os.path.join(self.index_dir, "segments", f"group={g}")
-            if self.input_layout == "aligned":
-                self._check_aligned_contract(gsrc)
-            blocks, n_postings, disk_bytes = self._group_footer_stats(gsrc)
+            blocks, n_postings, disk_bytes = stats[g]
             if not os.path.isdir(gsrc):
                 # group with no shards (n_shards < n_groups): publish an
                 # empty-but-committed unit so resume sees it as done

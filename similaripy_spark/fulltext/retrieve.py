@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from similaripy_spark.fulltext.index_build import read_meta, read_segments
 from similaripy_spark.fulltext.wand import (
@@ -77,7 +78,21 @@ def topk(
     supported by the batch scorer, so they always route to 'segment'.
     Routing counts the query batch — one action over the (small) query side
     only; pass ``path`` to skip even that.
+
+    Queries carry either a ``terms`` array<string> column (pre-tokenized)
+    or a raw ``text`` string column — text is tokenized here with the SAME
+    deterministic tokenizer the build used (tokenizer.tokenize_expr), so a
+    raw query can never tokenize differently from the indexed corpus.
     """
+    if "terms" not in queries.columns:
+        if "text" not in queries.columns:
+            raise ValueError(
+                "queries need a 'terms' array column or a raw 'text' "
+                f"string column; got {queries.columns}"
+            )
+        from similaripy_spark.fulltext.tokenizer import tokenize_expr
+
+        queries = queries.withColumn("terms", tokenize_expr(F.col("text")))
     meta = read_meta(index_dir)
     has_merged = os.path.isdir(os.path.join(index_dir, "merged"))
     if query_weighted:

@@ -87,3 +87,35 @@ def test_missing_merged_rejected(spark, tmp_path):
     # …but an explicit merged-layout path is an error
     with pytest.raises(ValueError, match="merged layout"):
         topk(spark, d, queries, k=5, path="bucket")
+
+
+def test_text_queries_tokenized_like_build(spark, built):
+    """A raw ``text`` query column is tokenized with the build tokenizer
+    inside topk — results identical to pre-tokenizing with tokenize_expr."""
+    from pyspark.sql import functions as F
+
+    from similaripy_spark.fulltext.tokenizer import tokenize_expr
+
+    qp = generate_queries_pandas(40, vocab_size=VOCAB)
+    text = spark.createDataFrame(qp).select(
+        "query_id", F.array_join("terms", " ").alias("text")
+    )
+    terms = text.select(
+        "query_id", tokenize_expr(F.col("text")).alias("terms")
+    )
+    a = (
+        topk(spark, built, text, k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        topk(spark, built, terms, k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_queries_without_terms_or_text_rejected(spark, built):
+    bad = spark.range(3).withColumnRenamed("id", "query_id")
+    with pytest.raises(ValueError, match="terms.*text|text.*terms"):
+        topk(spark, built, bad, k=5)

@@ -63,7 +63,11 @@ def main(argv=None):
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
-    q.add_argument("--queries", required=True)
+    q.add_argument(
+        "--queries", required=True,
+        help="parquet with query_id + terms (array<string>) or raw "
+        "text (string; tokenized with the build tokenizer)",
+    )
     q.add_argument("--out", required=True)
     q.add_argument("--k", type=int, default=10)
 
