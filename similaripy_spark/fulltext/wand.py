@@ -401,10 +401,15 @@ def _index_idf_table(spark, index_dir: str) -> DataFrame:
 #: sweep in _score_batch). Override per-run with SIMILARIPY_SCORER_CHUNK.
 _GRID_TARGET_BYTES = 1_200_000
 
+#: deep-paging auto-cutover: below this k the one-pass merge volume is cheap
+#: (k=100 measured only +11% over k=10); at/above it the exact two-pass
+#: threshold scheme in segment_topk wins (k=1000: 48.5 s one-pass).
+DEEP_K_CUTOFF = 512
+
 
 def _score_batch(
     idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int | None = None,
-    query_weighted: bool = False,
+    query_weighted: bool = False, tau: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Dense-accumulator batch scorer — the distributed twin of the
     reference's SPA (s_plus.h:71-240), vectorized across a whole query
@@ -426,6 +431,18 @@ def _score_batch(
     k ∈ {100, 1000} is pinned in tests/test_index.py."""
     qids_all = q_pdf["query_id"].to_numpy(np.int64)
     n_q = len(q_pdf)
+    if tau is not None:
+        # per-query score floor (deep-paging pass 2): emit only candidates
+        # scoring >= tau_q — rank-exact because tau is a lower bound on the
+        # query's global k-th score. NaN (no bound established) -> -inf.
+        # A relative epsilon widens the floor so float-addition-order noise
+        # between the two passes (~1 ULP; the tau join reorders query rows
+        # and with them the accumulation order) can never drop a row whose
+        # exact score ties the bound — extra kept rows are sorted out by
+        # the final top_k.
+        tau = tau.astype(np.float64)
+        tau = tau - (np.abs(tau) * 1e-9 + 1e-12)
+        tau = np.where(np.isnan(tau), -np.inf, tau)
     # --- vectorized incidence build: explode (query, term), factorize the
     # terms, keep those present in this shard, dedupe (query, term) pairs —
     # the only remaining Python loops run over DISTINCT terms, not over
@@ -551,6 +568,8 @@ def _score_batch(
         rows_i, cols_i = np.nonzero(cand_mask)
         sc = S[rows_i, cols_i]
         keep = np.isfinite(sc)
+        if tau is not None:
+            keep &= sc >= tau[c0:c1][rows_i]
         rows_i, cols_i, sc = rows_i[keep], cols_i[keep], sc[keep]
         out_parts.append(
             _group_topk_df(
@@ -576,6 +595,7 @@ def segment_topk(
     query_weighted: bool = False,
     index_dir: str | None = None,
     weight_scheme: str | None = None,
+    deep_paging: bool | None = None,
 ) -> DataFrame:
     """queries(query_id, terms) × doc-sharded segments → global top-k
     (query_id, doc_id, score, rank).
@@ -645,50 +665,98 @@ def segment_topk(
         shard_ids = [
             r["shard"] for r in segments.select("shard").distinct().collect()
         ]
-    shards = spark.createDataFrame([(int(s),) for s in shard_ids], "shard int")
+    shards_list = [int(s) for s in shard_ids]
+    shards = spark.createDataFrame([(s,) for s in shards_list], "shard int")
     qcols = (
         ["query_id", "terms"]
         + (["weights"] if query_weighted else [])
         + (["idfs"] if factored else [])
     )
-    qx = queries.select(*qcols).crossJoin(F.broadcast(shards))
-
-    def score_shard(seg_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(seg_pdf) == 0 or len(q_pdf) == 0:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "doc_id": pd.Series(dtype="int64"),
-                 "score": pd.Series(dtype="float64")}
+    def make_score_shard(k_emit: int, with_tau: bool):
+        def score_shard(
+            seg_pdf: pd.DataFrame, q_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            if len(seg_pdf) == 0 or len(q_pdf) == 0:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float64")}
+                )
+            idf = (
+                _idf_map_from_pdf(q_pdf["terms"], q_pdf["idfs"])
+                if factored else None
             )
-        idf = (
-            _idf_map_from_pdf(q_pdf["terms"], q_pdf["idfs"])
-            if factored else None
-        )
-        idx = _ShardIndex(seg_pdf, idf=idf)
-        if batch:
-            return _score_batch(idx, q_pdf, k, query_weighted=query_weighted)
-        out_q, out_d, out_s = [], [], []
-        for qid, terms in zip(q_pdf["query_id"], q_pdf["terms"]):
-            uterms = list(dict.fromkeys(terms))
-            if prune:
-                docs, scores = _score_maxscore(idx, uterms, k)
-            else:
-                docs, scores = _score_exhaustive(idx, uterms)
-            docs, scores = _local_topk(docs, scores, k)
-            out_q.extend([qid] * len(docs))
-            out_d.extend(docs.tolist())
-            out_s.extend(scores.tolist())
-        return pd.DataFrame(
-            {"query_id": np.asarray(out_q, np.int64),
-             "doc_id": np.asarray(out_d, np.int64),
-             "score": np.asarray(out_s, np.float64)}
+            idx = _ShardIndex(seg_pdf, idf=idf)
+            if batch:
+                return _score_batch(
+                    idx, q_pdf, k_emit, query_weighted=query_weighted,
+                    tau=(
+                        q_pdf["tau"].to_numpy(np.float64)
+                        if with_tau else None
+                    ),
+                )
+            out_q, out_d, out_s = [], [], []
+            for qid, terms in zip(q_pdf["query_id"], q_pdf["terms"]):
+                uterms = list(dict.fromkeys(terms))
+                if prune:
+                    docs, scores = _score_maxscore(idx, uterms, k_emit)
+                else:
+                    docs, scores = _score_exhaustive(idx, uterms)
+                docs, scores = _local_topk(docs, scores, k_emit)
+                out_q.extend([qid] * len(docs))
+                out_d.extend(docs.tolist())
+                out_s.extend(scores.tolist())
+            return pd.DataFrame(
+                {"query_id": np.asarray(out_q, np.int64),
+                 "doc_id": np.asarray(out_d, np.int64),
+                 "score": np.asarray(out_s, np.float64)}
+            )
+
+        return score_shard
+
+    def sweep(qdf: DataFrame, qdf_cols: list, k_emit: int,
+              with_tau: bool) -> DataFrame:
+        qx = qdf.select(*qdf_cols).crossJoin(F.broadcast(shards))
+        return (
+            segments.groupby("shard")
+            .cogroup(qx.groupby("shard"))
+            .applyInPandas(
+                make_score_shard(k_emit, with_tau), schema=_RESULT_SCHEMA
+            )
         )
 
-    local = (
-        segments.groupby("shard")
-        .cogroup(qx.groupby("shard"))
-        .applyInPandas(score_shard, schema=_RESULT_SCHEMA)
-    )
+    n_shards = len(shards_list)
+    if deep_paging is None:
+        deep_paging = batch and k >= DEEP_K_CUTOFF and n_shards >= 8
+    k1 = max(32, -(-4 * k // max(n_shards, 1)))
+    if deep_paging and k1 < k:
+        # Exact two-pass deep paging. The one-pass merge ships
+        # n_q × n_shards × k rows into the global top-k — at k=1000 that
+        # volume IS the cost (measured 48.5 s vs 12.4 s at k=100, 300k
+        # docs). Scoring itself is nearly k-independent (dense accumulator;
+        # k only affects selection), so: pass 1 scores with a small
+        # per-shard cap k1 ≈ 4k/n_shards (union ≥ 4k real candidates per
+        # query), and tau_q = that union's k-th (score DESC, doc_id ASC)
+        # — the k-th best of ANY ≥k real docs is a lower bound on the
+        # global k-th, so filtering pass 2's emission to score >= tau_q
+        # keeps every true top-k row. Pass 2 re-scores with the floor
+        # applied INSIDE the kernel (before Arrow serialization), so the
+        # big emission never exists. Queries with < k pass-1 candidates
+        # get tau = null -> no floor (rare: only when most shards hold
+        # < k1 matches). Rank identity vs the one-pass path is pinned in
+        # tests/test_retrieve.py.
+        cand = sweep(queries, qcols, k1, with_tau=False)
+        cand_topk = top_k(
+            cand, k, group="query_id", order_value="score",
+            tiebreak="doc_id", keep_rank=True,
+        )
+        tau_df = cand_topk.filter(F.col("rank") == k).select(
+            "query_id", F.col("score").alias("tau")
+        )
+        q2 = queries.join(tau_df, "query_id", "left")
+        local = sweep(q2, qcols + ["tau"], k, with_tau=True)
+    else:
+        local = sweep(queries, qcols, k, with_tau=False)
     out = top_k(
         local, k, group="query_id", order_value="score", tiebreak="doc_id",
         keep_rank=True,

@@ -119,3 +119,33 @@ def test_queries_without_terms_or_text_rejected(spark, built):
     bad = spark.range(3).withColumnRenamed("id", "query_id")
     with pytest.raises(ValueError, match="terms.*text|text.*terms"):
         topk(spark, built, bad, k=5)
+
+
+def test_deep_paging_two_pass_rank_identity(spark, tmp_path):
+    """The exact two-pass deep-paging scheme (per-shard cap k1 -> per-query
+    tau floor -> filtered second sweep) must return the same ranking as the
+    one-pass merge. 16 shards + k=300 makes k1=75 < k, so the prepass is
+    genuinely exercised (with few shards k1 >= k and segment_topk falls
+    back to one-pass by construction)."""
+    import numpy as np
+
+    from similaripy_spark.fulltext.index_build import read_segments
+    from similaripy_spark.fulltext.wand import segment_topk
+
+    d = str(tmp_path / "deep")
+    pages = generate_pages(spark, 2000, vocab_size=900)
+    IndexBuilder(d, shard_size=128, n_groups=4).build(pages)
+    queries = spark.createDataFrame(generate_queries_pandas(30, vocab_size=900))
+    seg = read_segments(spark, d)
+    common = dict(k=300, shard_ids=range(16), index_dir=d)
+    one = (
+        segment_topk(seg, queries, deep_paging=False, **common)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    two = (
+        segment_topk(seg, queries, deep_paging=True, **common)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(two["query_id"]) == list(one["query_id"])
+    assert list(two["doc_id"]) == list(one["doc_id"])
+    np.testing.assert_allclose(two["score"], one["score"], rtol=1e-9)
