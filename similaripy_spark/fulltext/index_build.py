@@ -61,7 +61,7 @@ from similaripy_spark.fulltext.commit import (
     resolve_artifact,
     resolve_artifact_multi,
 )
-from similaripy_spark.fulltext.postings import build_postings
+from similaripy_spark.fulltext.postings import build_postings, doc_lengths
 from similaripy_spark.fulltext.weights import bm25_tf_part, bm25_weights
 
 BLOCK_SIZE = 128
@@ -419,6 +419,7 @@ class IndexBuilder:
             resume=resume,
             fail_after_groups=fail_after_groups,
             n_docs=n_docs,
+            pages=pages,
         )
 
     def build_from_postings(
@@ -428,20 +429,32 @@ class IndexBuilder:
         resume: bool = True,
         fail_after_groups: int | None = None,
         n_docs: int | None = None,
+        pages: DataFrame | None = None,
     ) -> dict:
         """Build from a postings relation (doc_id, term, tf, dl) — also the
         re-weighting entry for incremental merges (index_merge.py).
 
         Job structure (exactly three Spark jobs on a fresh build):
 
-        1. doc_stats: ``groupBy(doc_id)`` (map-side combinable) written to
-           parquet, with corpus scalars observed on the same action;
-        2. segments: the one big job — postings ⋈ term-df (unhinted; AQE
-           broadcast-converts when small), weight expression with the corpus
-           scalars as literals, repartition(shard, term-salt) → sort →
-           Arrow encode → ``partitionBy(group)`` staged write; every pending
-           group then publishes independently (rename + lineage manifest);
+        1. doc_stats: with ``pages`` available (the ``build()`` entry), a
+           count-only token pass over the raw text (doc_lengths — no split,
+           no posting explosion) written to parquet with the corpus scalars
+           observed on the same action. Without pages, a ``groupBy(doc_id)``
+           over the postings (map-side combinable);
+        2. segments: the one big job — weight expression with the corpus
+           scalars as literals ('prod' scheme adds the term-df aggregate ⋈;
+           unhinted, AQE broadcast-converts when small), repartition(shard,
+           term-salt) → sort → Arrow encode → ``partitionBy(group)`` staged
+           write; every pending group then publishes independently (rename +
+           lineage manifest);
         3. term_stats: Σn / max / min over committed block metadata.
+
+        On the default factored scheme with ``pages``, the postings relation
+        has exactly ONE consumer (the segment job), so it is never persisted:
+        tokenize runs once, streamed straight into the shard exchange —
+        no 10^?-row cache encode/decode, which on a bandwidth-bound box is
+        the difference between the doc_stats phase scaling and not (measured
+        300k docs: phase eff 0.31 persisted vs the count-only pass).
         """
         spark = postings.sparkSession
         self.commit.ensure_dir(os.path.join(self.index_dir, "lineage"))
@@ -449,17 +462,28 @@ class IndexBuilder:
         meta_path = os.path.join(self.index_dir, "meta.json")
         run_id = uuid.uuid4().hex[:12]
 
-        postings = postings.persist()
+        resumed_meta = None
+        if resume and self.commit.exists(meta_path):
+            resumed_meta = self.commit.read_json(meta_path)
+            self.shard_size = int(resumed_meta["shard_size"])
+            # a resumed build must keep the committed groups' scheme —
+            # mixing factored and product blocks in one index would be
+            # silently wrong at query time
+            self.weight_scheme = resumed_meta.get("weight_scheme", "prod")
+
+        # persist only when the plan reads the postings more than once:
+        # stats-from-postings (no pages), or the 'prod' scheme's term-df
+        # aggregate + join (two consumers in one job)
+        reuse = pages is None or self.weight_scheme != "factored"
+        if reuse:
+            postings = postings.persist()
         try:
-            if not resume or not self.commit.exists(meta_path):
-                meta = self._build_stats(postings, n_docs, run_id)
+            if resumed_meta is not None:
+                meta = resumed_meta
+            elif pages is not None:
+                meta = self._build_stats_pages(pages, n_docs, run_id)
             else:
-                meta = self.commit.read_json(meta_path)
-                self.shard_size = int(meta["shard_size"])
-                # a resumed build must keep the committed groups' scheme —
-                # mixing factored and product blocks in one index would be
-                # silently wrong at query time
-                self.weight_scheme = meta.get("weight_scheme", "prod")
+                meta = self._build_stats(postings, n_docs, run_id)
             n_shards = int(meta["n_shards"])
 
             done = self.committed_groups() if resume else set()
@@ -516,16 +540,16 @@ class IndexBuilder:
                 self._write_term_stats(spark)
             return meta
         finally:
-            postings.unpersist()
+            if reuse:
+                postings.unpersist()
 
     def _build_stats(self, postings: DataFrame, n_docs: int | None,
                      run_id: str) -> dict:
-        """Job 1: doc_stats parquet + corpus scalars (observed on the same
-        action) + meta.json. The reference's N is the declared matrix shape
-        incl. empty docs (normalization.pyx:315, 323) — pass ``n_docs`` to
-        pin it; else the distinct doc count in the postings is used."""
-        from pyspark.sql import Observation
-
+        """Job 1 (postings entry): doc_stats parquet + corpus scalars
+        (observed on the same action) + meta.json. The reference's N is the
+        declared matrix shape incl. empty docs (normalization.pyx:315, 323)
+        — pass ``n_docs`` to pin it; else the distinct doc count in the
+        postings is used."""
         if self.shard_size == "auto":
             # one cheap max() action; doc ids are dense-ish by contract
             hi = postings.agg(F.max("doc_id").alias("m")).first()["m"] or 0
@@ -535,6 +559,31 @@ class IndexBuilder:
             .agg(F.max("dl").alias("dl"))
             .withColumn("shard", (F.col("doc_id") / self.shard_size).cast("int"))
         )
+        return self._write_stats(ds, n_docs, run_id)
+
+    def _build_stats_pages(self, pages: DataFrame, n_docs: int | None,
+                           run_id: str) -> dict:
+        """Job 1 (pages entry): doc_stats straight from the raw text with
+        the count-only token kernel (postings.doc_lengths) — no posting
+        explosion, no postings persist, no groupBy shuffle. ``dl > 0``
+        filter keeps the table's contents identical to the postings-derived
+        variant (a doc with no tokens emits no postings)."""
+        if self.lang is not None:
+            pages = pages.filter(F.col("lang") == self.lang)
+        if self.shard_size == "auto":
+            hi = pages.agg(F.max("doc_id").alias("m")).first()["m"] or 0
+            self.shard_size = derive_shard_size(int(hi) + 1)
+        ds = (
+            doc_lengths(pages)
+            .filter(F.col("dl") > 0)
+            .withColumn("shard", (F.col("doc_id") / self.shard_size).cast("int"))
+        )
+        return self._write_stats(ds, n_docs, run_id)
+
+    def _write_stats(self, ds: DataFrame, n_docs: int | None,
+                     run_id: str) -> dict:
+        from pyspark.sql import Observation
+
         obs = Observation("corpus")
         ds_path = os.path.join(self.index_dir, "doc_stats")
         ds_tmp = self.commit.stage_path(ds_path)

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from similaripy_spark.fulltext.tokenizer import TOKEN_SPLIT_RE, tokenize_expr
+from similaripy_spark.fulltext.tokenizer import (
+    TOKEN_RUN_RE,
+    TOKEN_SPLIT_RE,
+    tokenize_expr,
+)
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -144,6 +148,42 @@ def _count_terms_arrow(batches):
                 pa.array(dl[u_doc], type=pa.int64()),
             ],
             names=["doc_id", "term", "tf", "dl"],
+        )
+
+
+def doc_lengths(pages: DataFrame, lang: str | None = None) -> DataFrame:
+    """pages → (doc_id, dl): token counts WITHOUT building token arrays.
+
+    dl is the number of non-empty tokens, counted as non-overlapping
+    matches of TOKEN_RUN_RE on the lowered text — no split, no string
+    allocation, no posting explosion. This makes corpus stats (N, avgdl,
+    max shard) a pass that is ~an order of magnitude lighter in DRAM
+    traffic than tokenizing, which is what lets the index build tokenize
+    exactly ONCE (inside the segment job) instead of materializing and
+    re-reading a postings cache. Identical dl to build_postings by
+    construction (tests pin the agreement)."""
+    if lang is not None:
+        pages = pages.filter(F.col("lang") == lang)
+    return pages.select("doc_id", "text").mapInArrow(
+        _doc_len_arrow, schema="doc_id long, dl long"
+    )
+
+
+def _doc_len_arrow(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        text = pc.fill_null(b.column(b.schema.get_field_index("text")), "")
+        dl = pc.count_substring_regex(pc.utf8_lower(text), TOKEN_RUN_RE)
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(b.schema.get_field_index("doc_id")).cast(pa.int64()),
+                dl.cast(pa.int64()),
+            ],
+            names=["doc_id", "dl"],
         )
 
 

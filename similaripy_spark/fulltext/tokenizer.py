@@ -27,6 +27,12 @@ from pyspark.sql.functions import pandas_udf
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
+#: complement of TOKEN_SPLIT_RE: one maximal token run. Counting
+#: non-overlapping matches of this on LOWERED text equals the number of
+#: non-empty tokens the split produces (lowering first matters: some
+#: non-ASCII uppercase chars lower into [a-z], e.g. the Kelvin sign → k).
+TOKEN_RUN_RE = "[a-z0-9]+"
+
 
 def tokenize_expr(text: Column) -> Column:
     """text → array<string> of tokens (built-in functions only)."""

@@ -206,3 +206,43 @@ def test_bm25_weights_language_filter(spark, pages):
     xx_ids = {r["doc_id"] for r in pages.filter("lang = 'xx'").select("doc_id").collect()}
     got_ids = {r["doc_id"] for r in postings.select("doc_id").distinct().collect()}
     assert got_ids.isdisjoint(xx_ids)
+
+
+def test_doc_lengths_match_postings_dl(spark, pages):
+    """The count-only dl kernel (no split, no explosion — what the build's
+    stats pass runs) must agree exactly with the tokenizing kernel's dl on
+    every doc that has tokens, and emit dl=0 (not a crash, not a row drop)
+    for token-free docs."""
+    from similaripy_spark.fulltext.postings import doc_lengths
+
+    a = (
+        doc_lengths(pages)
+        .filter("dl > 0")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        build_postings(pages)
+        .select("doc_id", "dl")
+        .distinct()
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_doc_lengths_edge_cases(spark):
+    """Null text, empty text, separator-only text → dl 0; the Kelvin sign
+    (U+212A) lowercases INTO [a-z], so counting must run on lowered text
+    exactly as the tokenizer does."""
+    from similaripy_spark.fulltext.postings import doc_lengths
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, None), (2, ""), (3, "--- ;; !"),
+         (4, "Kelvin UPPER x9")],
+        "doc_id long, text string",
+    )
+    out = dict(doc_lengths(df).toPandas().itertuples(index=False))
+    assert out == {0: 3, 1: 0, 2: 0, 3: 0, 4: 3}
