@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 import time
 import uuid
 from typing import Iterator
@@ -383,10 +384,23 @@ class IndexBuilder:
         #: not needed, but the build pays a vocabulary-sized stats join and
         #: aligned mode must broadcast it).
         self.weight_scheme = weight_scheme
+        #: per-phase build wall (ms), reset per build_from_postings run
+        self._phase_ms: dict[str, int] = {}
 
     # --- lineage helpers --------------------------------------------------
     def _lineage_path(self, group: int) -> str:
         return os.path.join(self.index_dir, "lineage", f"group_{group}.json")
+
+    def _record_phase(self, name: str, t0: float) -> float:
+        """Accumulate per-phase build wall into ``self._phase_ms`` (published
+        as ``lineage/build_metrics.json`` — the north-star metrics table;
+        also the tool that located the build's serial costs).  Returns a new
+        t0 so call sites can chain phases."""
+        t1 = time.monotonic()
+        self._phase_ms[name] = self._phase_ms.get(name, 0) + int(
+            (t1 - t0) * 1000
+        )
+        return t1
 
     def committed_groups(self) -> set[int]:
         d = os.path.join(self.index_dir, "lineage")
@@ -461,6 +475,8 @@ class IndexBuilder:
         self.commit.ensure_dir(os.path.join(self.index_dir, "segments"))
         meta_path = os.path.join(self.index_dir, "meta.json")
         run_id = uuid.uuid4().hex[:12]
+        self._phase_ms: dict[str, int] = {}
+        t_build0 = time.monotonic()
 
         resumed_meta = None
         if resume and self.commit.exists(meta_path):
@@ -478,12 +494,14 @@ class IndexBuilder:
         if reuse:
             postings = postings.persist()
         try:
+            t_ph = time.monotonic()
             if resumed_meta is not None:
                 meta = resumed_meta
             elif pages is not None:
                 meta = self._build_stats_pages(pages, n_docs, run_id)
             else:
                 meta = self._build_stats(postings, n_docs, run_id)
+            t_ph = self._record_phase("doc_stats", t_ph)
             n_shards = int(meta["n_shards"])
 
             done = self.committed_groups() if resume else set()
@@ -533,11 +551,22 @@ class IndexBuilder:
                     )
             # term stats from block metadata once every group is committed
             # (idempotent: recomputed whenever this run added groups)
+            t_ph = time.monotonic()
             ts_path = os.path.join(self.index_dir, "term_stats")
             if len(self.committed_groups()) == self.n_groups and (
                 pending or not self.commit.exists(ts_path)
             ):
                 self._write_term_stats(spark)
+            self._record_phase("term_stats", t_ph)
+            self._phase_ms["total"] = int(
+                (time.monotonic() - t_build0) * 1000
+            )
+            self.commit.publish_json(
+                os.path.join(self.index_dir, "lineage", "build_metrics.json"),
+                {"run_id": run_id, "phase_ms": dict(self._phase_ms)},
+            )
+            if os.environ.get("SIMILARIPY_BUILD_METRICS_STDERR") == "1":
+                print(f"build phases: {self._phase_ms}", file=sys.stderr)
             return meta
         finally:
             if reuse:
@@ -756,6 +785,7 @@ class IndexBuilder:
             os.path.join(self.index_dir, "segments_batch")
         )
         seg.write.mode("overwrite").partitionBy("group").parquet(stage_parent)
+        t_ph = self._record_phase("segment_job", t0)
         wall_ms = int(
             (time.monotonic() - t0) * 1000 / max(len(pending), 1)
         )
@@ -775,6 +805,7 @@ class IndexBuilder:
 
         with ThreadPoolExecutor(max_workers=min(16, len(pending))) as pool:
             stats = dict(pool.map(inspect, pending))
+        t_ph = self._record_phase("footer_stats", t_ph)
         for g in pending:
             gsrc = os.path.join(stage_parent, f"group={g}")
             gdir = os.path.join(self.index_dir, "segments", f"group={g}")
@@ -788,6 +819,7 @@ class IndexBuilder:
                 g, run_id, blocks, n_postings, disk_bytes, wall_ms
             )
         self.commit.discard(stage_parent)
+        self._record_phase("commit", t_ph)
 
     def _build_group_single(
         self, weighted: DataFrame, g: int, n_shards: int, run_id: str

@@ -81,6 +81,25 @@ def test_meta_and_lineage(built):
     assert all(r["status"] == "done" and r["postings"] > 0 for r in lin)
 
 
+def test_build_metrics_published(built):
+    """Every build publishes lineage/build_metrics.json — the per-phase
+    wall table (north-star metrics artifact; also how round 4 located the
+    build's serial costs). It must NOT register as a lineage commit unit."""
+    import json as _json
+
+    d, _, _ = built
+    p = os.path.join(d, "lineage", "build_metrics.json")
+    assert os.path.exists(p)
+    m = _json.load(open(p))
+    phases = m["phase_ms"]
+    for k in ("doc_stats", "segment_job", "footer_stats", "commit",
+              "term_stats", "total"):
+        assert k in phases, k
+    assert phases["total"] >= phases["segment_job"]
+    # metrics file is invisible to the group-commit ledger
+    assert len(IndexBuilder(d, shard_size=256, n_groups=4).lineage()) == 4
+
+
 def test_segments_wellformed(spark, built):
     d, meta, _ = built
     seg = read_segments(spark, d)
