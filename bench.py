@@ -696,8 +696,10 @@ def main():
             s = {
                 "method": (
                     "efficiency = (high/iso_slice)/4: phase-barriered "
-                    "iso-load quad as the per-node-fair low level; "
-                    "sequential idle-box pair reported as lower bound"
+                    "iso-load quad as the per-node-fair low level, "
+                    "interleaved high,quad,high,quad with best-of per "
+                    "level (storms only subtract); sequential idle-box "
+                    "pair = opt-in lower bound (BENCH_SCALE_SEQ=1)"
                 ),
                 "high": ft_high_fresh,
                 "high_history_best": ft_high,
@@ -727,10 +729,22 @@ def main():
             return s
 
         pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
-        high_samples, low_samples, iso = [], [], None
+        high_samples, low_samples, iso_samples = [], [], []
         skipped: list[str] = []
+
+        def iso_now():
+            return _iso_best(iso_samples) if iso_samples else None
+
         try:
             _pregen_pages(cpus, scale_docs_n, scale_vocab, pages_dir)
+            # INTERLEAVED high,quad,high,quad: this box's noisy-neighbor
+            # storms (bandwidth collapses 15→3 GB/s for minutes, invisible
+            # to steal%) are one-sided — a storm that owns a single level's
+            # window owns the ratio (observed: a quad under a 2.8 GB/s
+            # window measured 994 d/s/slice vs 2330 clean, flipping the
+            # pair to a nonsense 1.87). Interleaving + best-of per level
+            # means one clean window per level suffices; storms only ever
+            # SUBTRACT throughput, so best-of is bias-free for capability.
             t_hi0 = time.monotonic()
             high_samples.append(
                 run_level(high, repeats=1, scale_docs=True,
@@ -740,53 +754,68 @@ def main():
             scaling = assemble(high_samples, None, low_samples, skipped)
             result["scaling"] = scaling
             emit("scaling_high")
-            # the primary low level (never budget-skipped: without it there
-            # is no efficiency number at all). A crashed slice must not
-            # take the whole artifact down — record and continue to the
-            # sequential level, which can still produce a bound.
+            # the primary low level (round 1 never budget-skipped: without
+            # it there is no efficiency number at all). A crashed slice
+            # must not take the whole artifact down.
             t_iso0 = time.monotonic()
             try:
-                iso = run_level_quad(low, n_conc, pages_dir=pages_dir)
+                iso_samples.append(
+                    run_level_quad(low, n_conc, pages_dir=pages_dir)
+                )
             except Exception as e:  # noqa: BLE001 — artifact survival
                 skipped.append(f"iso_load (failed: {e!r:.120})")
-                iso = None
             iso_cost = time.monotonic() - t_iso0
-            scaling = assemble(high_samples, iso, low_samples, skipped)
+            scaling = assemble(high_samples, iso_now(), low_samples, skipped)
             result["scaling"] = scaling
             emit("scaling_iso")
-            # sequential idle-box lower bound (cost ≈ one quad: same work,
-            # 2 cores, no co-load) — skip rather than blow the budget
-            if os.environ.get("BENCH_SCALE_SEQ", "1") != "0":
-                if remaining() < 0.9 * iso_cost:
-                    skipped.append(
-                        f"sequential_low (est {round(0.9 * iso_cost, 1)}s "
-                        f"> remaining {round(remaining(), 1)}s)"
-                    )
-                else:
-                    low_samples.append(
-                        run_level(low, repeats=1, scale_docs=True,
-                                  pages_dir=pages_dir)
-                    )
-                    scaling = assemble(
-                        high_samples, iso, low_samples, skipped
-                    )
-                    result["scaling"] = scaling
-                    emit("scaling_seq")
-            # a second high sample if the budget still allows (one-sided
-            # storm defense for the numerator)
-            if remaining() > 1.5 * hi_cost:
+            # second interleaved round, each step budget-gated
+            if remaining() > 1.3 * hi_cost:
                 high_samples.append(
                     run_level(high, repeats=1, scale_docs=True,
                               pages_dir=pages_dir)
                 )
-                scaling = assemble(high_samples, iso, low_samples, skipped)
+                scaling = assemble(
+                    high_samples, iso_now(), low_samples, skipped
+                )
                 result["scaling"] = scaling
                 emit("scaling_high2")
             else:
                 skipped.append(
-                    f"high_rep2 (est {round(1.5 * hi_cost, 1)}s > "
+                    f"high_rep2 (est {round(1.3 * hi_cost, 1)}s > "
                     f"remaining {round(remaining(), 1)}s)"
                 )
+            if iso_samples and remaining() > 1.1 * iso_cost:
+                try:
+                    iso_samples.append(
+                        run_level_quad(low, n_conc, pages_dir=pages_dir)
+                    )
+                except Exception as e:  # noqa: BLE001
+                    skipped.append(f"iso_rep2 (failed: {e!r:.120})")
+                scaling = assemble(
+                    high_samples, iso_now(), low_samples, skipped
+                )
+                result["scaling"] = scaling
+                emit("scaling_iso2")
+            else:
+                skipped.append(
+                    f"iso_rep2 (est {round(1.1 * iso_cost, 1)}s > "
+                    f"remaining {round(remaining(), 1)}s)"
+                )
+            # sequential idle-box lower bound — OPT-IN (BENCH_SCALE_SEQ=1):
+            # it understates cluster scaling by construction (the idle-box
+            # low level gets the whole socket) and costs a full quad; the
+            # bound is documented from history in BASELINE.md instead
+            if os.environ.get("BENCH_SCALE_SEQ", "0") == "1" and \
+                    remaining() > 0.9 * iso_cost:
+                low_samples.append(
+                    run_level(low, repeats=1, scale_docs=True,
+                              pages_dir=pages_dir)
+                )
+                scaling = assemble(
+                    high_samples, iso_now(), low_samples, skipped
+                )
+                result["scaling"] = scaling
+                emit("scaling_seq")
         finally:
             import shutil
 
@@ -832,6 +861,31 @@ def _fresh_best(samples: list[dict]) -> dict:
     best["steal_pct"] = [s.get("steal_pct") for s in samples]
     best["iowait_pct"] = [s.get("iowait_pct") for s in samples]
     best["membw_gbps"] = [s.get("membw_gbps") for s in samples]
+    return best
+
+
+def _iso_best(samples: list[dict]) -> dict:
+    """Best-of across this run's quad samples, per metric. Storms only
+    subtract throughput, so per-metric best is the unbiased capability
+    estimate; every sample's slice spread + window telemetry stays in
+    ``windows`` so a reader can see which window each number came from."""
+    best = dict(max(samples, key=lambda s: s["build_docs_per_sec"]))
+    bq = max(samples, key=lambda s: s["queries_per_sec"])
+    best["queries_per_sec"] = bq["queries_per_sec"]
+    best["query_sec"] = bq["query_sec"]
+    best["slice_queries_per_sec"] = bq["slice_queries_per_sec"]
+    best["windows"] = [
+        {
+            "build_docs_per_sec": s["build_docs_per_sec"],
+            "queries_per_sec": s["queries_per_sec"],
+            "slice_build_docs_per_sec": s.get("slice_build_docs_per_sec"),
+            "slice_queries_per_sec": s.get("slice_queries_per_sec"),
+            "steal_pct": s.get("steal_pct"),
+            "iowait_pct": s.get("iowait_pct"),
+            "membw_gbps": s.get("membw_gbps"),
+        }
+        for s in samples
+    ]
     return best
 
 
@@ -906,9 +960,10 @@ def _write_baseline_md(scaling, cpus, low_cpus):
 
 Per-slice spread (4 concurrent builds, then 4 concurrent query batches,
 phase-barriered): build {iso.get('slice_build_docs_per_sec')} docs/s,
-query {iso.get('slice_queries_per_sec')} q/s; window steal
-{iso.get('steal_pct')}%, iowait {iso.get('iowait_pct')}%, copy-bandwidth
-probe {iso.get('membw_gbps')} GB/s.
+query {iso.get('slice_queries_per_sec')} q/s.
+
+Quad windows this run (best-of per metric; a storm only subtracts):
+{json.dumps(iso.get('windows'), indent=2) if iso.get('windows') else iso.get('membw_gbps')}
 """
     else:
         iso_rows = "\n(iso-load quad did not complete this run)\n"
@@ -925,7 +980,15 @@ DRAM bandwidth and max turbo (measured warm: 3818 docs/s sequential vs
 per-node-fair cluster never gives a size-N job.
 """
     else:
-        seq_md = "\n(sequential lower-bound level skipped this run)\n"
+        seq_md = """
+**Strict lower bound — sequential idle-box pair (opt-in,
+BENCH_SCALE_SEQ=1; historical values in BENCH/history.jsonl):** a lone
+local[2] level on an idle box gets the whole socket's DRAM bandwidth and
+max turbo (measured warm: 3818 docs/s sequential vs 2330 docs/s/slice
+under iso load — 1.6× idle-box inflation no cluster gives a size-N job),
+so it understates cluster scaling by construction; cleanest measured
+sequential pair: build 0.70-0.88 / query 0.83-0.88 warm.
+"""
     hist_md = ""
     if hih:
         hist_md = f"""
