@@ -370,7 +370,12 @@ def _bucket_demo(spark, idx: str, vocab: int) -> dict:
     return out
 
 
-def headline_queries(cpus: int, sf_dir: str) -> dict[str, float]:
+def headline_queries(
+    cpus: int, sf_dir: str, repeats: int | None = None
+) -> tuple[dict, dict, dict]:
+    """(best-per-query, per-query stats, raw samples). Raw samples let a
+    later budget-gated second pass merge honestly (combined best/median/n
+    recomputed from ALL observed samples, not medians-of-medians)."""
     import __spark_entry__ as E
 
     spark = _mk_spark(cpus)
@@ -392,11 +397,14 @@ def headline_queries(cpus: int, sf_dir: str) -> dict[str, float]:
             "pricing_summary",
             "events_window",
         ]
-        # best-of-N per query: the sandbox disk has minutes-long
-        # noisy-neighbor storms (observed 5-37 s for the SAME query in
-        # consecutive runs); a single timing measures the neighbors
-        repeats = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
-        out, detail = {}, {}
+        # storm defense moved from within-pass best-of-2 to a budget-gated
+        # SECOND PASS at the end of the run (main()): the first pass must be
+        # cheap so the scaling section's first quad round completes well
+        # before any external timeout — round 3 lost everything to exactly
+        # that, and this run's own storms can double every section
+        if repeats is None:
+            repeats = int(os.environ.get("BENCH_HEADLINE_REPEATS", "1"))
+        out, detail, raw = {}, {}, {}
         for name in picks:
             samples = []
             for _ in range(repeats):
@@ -407,8 +415,9 @@ def headline_queries(cpus: int, sf_dir: str) -> dict[str, float]:
                 samples.append(time.monotonic() - t0)
             out[name] = round(min(samples), 3)
             detail[name] = _stats(samples)
+            raw[name] = samples
         out.update(_skew_demo(spark))
-        return out, detail
+        return out, detail, raw
     finally:
         spark.stop()
 
@@ -498,7 +507,9 @@ def main():
         result["value"] = round(time.monotonic() - t_total, 3)
         print(json.dumps(result), flush=True)
 
-    queries, queries_detail = headline_queries(cpus, sf_dir)
+    t_hl0 = time.monotonic()
+    queries, queries_detail, hl_raw = headline_queries(cpus, sf_dir)
+    hl_cost = time.monotonic() - t_hl0
     result["queries"], result["queries_detail"] = queries, queries_detail
     emit("headline")
 
@@ -541,12 +552,12 @@ def main():
             )
             # steady-state measurement: the untimed warm-up build (default
             # on for every level) spends the JVM/codegen/worker-spawn fixed
-            # cost a real cluster build amortizes, and best-of-2 timed
-            # builds inside the level catch one-sided storms — the
-            # build-side analogue of the query warm-up + best-of machinery.
-            # Queries stay single-shot: the batch is steady-state already.
+            # cost a real cluster build amortizes. One timed build per
+            # level per round — storm defense is the INTERLEAVED rounds'
+            # cross-window best-of, not within-level repeats (which would
+            # double every round's wall and cost a whole second round).
             env["BENCH_BUILD_REPEATS"] = os.environ.get(
-                "BENCH_SCALE_BUILD_REPEATS", "2"
+                "BENCH_SCALE_BUILD_REPEATS", "1"
             )
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         if scale_docs:
@@ -646,15 +657,24 @@ def main():
     # bucket-path comparison is OPT-IN (r3 had it default-on; the merge +
     # six timed runs it adds were a main reason the driver timeout hit)
     os.environ["BENCH_BUCKET"] = os.environ.get("BENCH_BUCKET", "0")
-    # best-of-2 builds at the headline level: each 100k-doc build is ~12 s
-    # quiet; two samples catch a one-sided storm without risking the budget
-    fulltext = run_level(cpus, repeats=int(os.environ.get("BENCH_REPEATS", "2")))
+    # single pass here; a budget-gated second sample runs AFTER the scaling
+    # section (storm defense without delaying the first quad round)
+    t_ft0 = time.monotonic()
+    ft_samples = [
+        run_level(cpus, repeats=int(os.environ.get("BENCH_REPEATS", "1")))
+    ]
+    ft_cost = time.monotonic() - t_ft0
     os.environ["BENCH_BUCKET"] = "0"  # scaling levels: identical jobs only
-    queries["fulltext_build"] = fulltext["build_sec"]
-    queries["fulltext_query_batch"] = fulltext["query_sec"]
-    queries_detail["fulltext_build"] = fulltext.get("build_stats")
-    queries_detail["fulltext_query_batch"] = fulltext.get("query_stats")
-    result["fulltext"] = fulltext
+
+    def publish_fulltext() -> None:
+        ft = _fresh_best(ft_samples)
+        queries["fulltext_build"] = ft["build_sec"]
+        queries["fulltext_query_batch"] = ft["query_sec"]
+        queries_detail["fulltext_build"] = ft.get("build_stats")
+        queries_detail["fulltext_query_batch"] = ft.get("query_stats")
+        result["fulltext"] = ft
+
+    publish_fulltext()
     emit("fulltext")
 
     scaling = None
@@ -824,6 +844,26 @@ def main():
         _write_baseline_md(scaling, high, low)
 
     result["scaling"] = scaling
+
+    # budget-gated second samples of the non-scaling sections (storm
+    # defense): cheapest-informative-first, each merged best-of with the
+    # first pass and re-emitted so a late kill still keeps them
+    if remaining() > 1.2 * ft_cost:
+        ft_samples.append(
+            run_level(cpus, repeats=int(os.environ.get("BENCH_REPEATS", "1")))
+        )
+        publish_fulltext()
+        emit("fulltext2")
+    if remaining() > 1.1 * hl_cost:
+        q2, _, raw2 = headline_queries(cpus, sf_dir, repeats=1)
+        for name, samples in raw2.items():
+            both = hl_raw.get(name, []) + samples
+            queries[name] = round(min(both), 3)
+            queries_detail[name] = _stats(both)
+        for name in q2:  # zipf demo keys: single-shot, keep the best
+            if name not in raw2:
+                queries[name] = min(queries.get(name, q2[name]), q2[name])
+        emit("headline2")
     emit("final")
 
 
