@@ -256,6 +256,31 @@ def test_segment_query_large_k(spark, built, k):
                                    rtol=1e-4)
 
 
+def test_encoder_parity(spark, tmp_path):
+    """All three block encoders commit byte-identical segments on the same
+    corpus: 'arrow' (default — in-kernel lexsort over dictionary codes, no
+    JVM row sort in the plan), 'arrow_stream' (streams over JVM-presorted
+    partitions), 'pandas' (original twin). Compared after orderBy — row
+    order inside files is the only thing the encoders may differ on."""
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+
+    def seg_pdf(d):
+        return (
+            read_segments(spark, d)
+            .orderBy("shard", "term", "block_id")
+            .toPandas().reset_index(drop=True)
+        )
+
+    dirs = {}
+    for enc in ("arrow", "arrow_stream", "pandas"):
+        d = str(tmp_path / enc)
+        IndexBuilder(d, shard_size=256, n_groups=2, encoder=enc).build(pages)
+        dirs[enc] = seg_pdf(d)
+    assert len(dirs["arrow"]) > 0
+    assert dirs["arrow"].equals(dirs["arrow_stream"])
+    assert dirs["arrow"].equals(dirs["pandas"])
+
+
 def test_factored_vs_prod_scheme_parity(spark, tmp_path):
     """weight_scheme='factored' (store tf-part, idf at query time — the
     default) must be rank-identical to weight_scheme='prod' (store idf×tf
