@@ -733,11 +733,17 @@ class IndexBuilder:
         """repartition(shard, term-salt) → Arrow block encode (the default
         encoder lexsorts its partition in-kernel; see encoder options).
 
-        Over-provisioned hash partitioning: hashing S dense shard ids into S
-        partitions leaves ~37% empty and 3-4-shard stragglers (balls-in-bins
-        max load caps wall time); 4× partitions makes collisions rare without
-        a range-partitioner sampling job. Sub-shard balance comes from also
-        hashing a term salt."""
+        Partition count: ≥1 per shard and ≥4× the core count. The term salt
+        splits each shard into 4 sub-keys, so even n_parts == n_shards hash
+        partitioning balances well (4S balls into S bins; worst bin ~3
+        shards, amortized when tasks/core ≥ 4). Over-provisioning beyond
+        that costs real money: every extra task pays scheduler dispatch,
+        a python-worker Arrow stream setup, and its own parquet file opens
+        — measured at 300k docs/64 shards: 256 partitions → 64 cut the
+        8-core segment job ~11% and the 2-core one ~18%. At cluster scale
+        n_shards ≫ 4×cores, so the count degenerates to one task per shard
+        — the natural unit, since the encoder buffers per-partition memory
+        bounded by shards-per-partition × shard_size."""
         bs = self.block_size
 
         # the exchange/sort payload is exactly what the encoder consumes:
@@ -780,9 +786,10 @@ class IndexBuilder:
             # preserved through build_postings): no exchange at all — the
             # encoder forms the posting lists in place
             return encode(weighted)
+        per_shard = int(os.environ.get("SIMILARIPY_BUILD_PARTS_PER_SHARD", "1"))
         n_parts = max(
-            4 * max(n_shards_in, 1),
-            weighted.sparkSession.sparkContext.defaultParallelism,
+            per_shard * max(n_shards_in, 1),
+            4 * weighted.sparkSession.sparkContext.defaultParallelism,
             8,
         )
         return encode(
