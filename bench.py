@@ -1073,7 +1073,8 @@ interference is visible in the artifact, not argued in prose.
 
 The scaling levels run the SHUFFLE build layout (general-input path: one
 wide doc→shard exchange). The aligned (zero-exchange) path is the faster
-engine at equal resources (local[32], 100k docs: 9.6 s vs 12.3 s shuffle)
+engine at equal resources (local[32], 100k docs: 7.1 s aligned this round
+vs 12.3 s shuffle measured round 3)
 but is so I/O-lean that its 2-core level already reaches ~half this box's
 DRAM/disk ceiling — a shared-socket artifact a per-node-resource cluster
 does not have; the CPU-bound shuffle path measures the engine's N→4N
