@@ -324,6 +324,45 @@ def test_factored_vs_prod_scheme_parity(spark, tmp_path):
         np.testing.assert_allclose(a["score"], b["score"], rtol=1e-4)
 
 
+def test_segments_with_idf_serve_path_parity(spark, tmp_path):
+    """segments_with_idf pre-joins idf onto a factored index's segments
+    (one-time, at load) — scoring through it must be IDENTICAL (doc ids
+    and float-exact scores: same kernel arithmetic, only the idf lookup
+    source differs) to the per-batch query-side annotation, across the
+    batch scorer, MaxScore, and exhaustive paths."""
+    from similaripy_spark.fulltext.wand import segments_with_idf
+
+    d = str(tmp_path / "fac_serve")
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    IndexBuilder(d, shard_size=256, n_groups=2).build(pages)
+    assert read_meta(d)["weight_scheme"] == "factored"
+    queries = spark.createDataFrame(
+        generate_queries_pandas(40, vocab_size=VOCAB)
+    )
+    plain = read_segments(spark, d)
+    served = segments_with_idf(plain, d)
+    assert "idf" in served.columns and "idf" not in plain.columns
+    for mode_kwargs in (
+        dict(batch=True),
+        dict(batch=False, prune=True),
+        dict(batch=False, prune=False),
+    ):
+        a = (
+            segment_topk(plain, queries, k=10, index_dir=d, **mode_kwargs)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            segment_topk(served, queries, k=10, index_dir=d, **mode_kwargs)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(a["doc_id"]) == list(b["doc_id"]), mode_kwargs
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(), b["score"].to_numpy()
+        )
+
+
 def test_resume_adopts_committed_scheme(spark, tmp_path):
     """A resumed build must keep the scheme of the already-committed groups
     even if the resuming builder was constructed with a different one —
