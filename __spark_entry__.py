@@ -266,6 +266,72 @@ def _q_bm25_index_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_and_topk(spark, sf_dir):
+    """Conjunctive BM25 top-10 through the full index engine: build the
+    factored SPIMI index, query with ``retrieve.topk(mode='and')`` — only
+    docs containing EVERY query term qualify (the batch scorer's
+    distinct-term match-count grid; the point path is rarest-first
+    posting-list intersection with per-block doc-range skipping,
+    wand._score_intersect — the north star's 'posting-list intersection'
+    made literal). Like bm25_index_topk, the selected (query_id, doc_id)
+    pairs are re-scored with exact float64 relational weights so the
+    float32-storage index can hash-match the SQL oracle."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(
+            F.filter(
+                F.slice(
+                    F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3
+                ),
+                lambda t: t != "",
+            )
+        ).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_and_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    picked = retrieve.topk(spark, d, queries, k=10, mode="and").select(
+        "query_id", "doc_id"
+    )
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
+_SQL_BM25_AND_TOPK_TEMPLATE = """
+  qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
+  scores AS (
+    SELECT q.query_id, w.doc_id, SUM(w.weight) AS score,
+           COUNT(*) AS nmatch
+    FROM qterms q JOIN weights w ON q.term = w.term
+    GROUP BY 1, 2),
+  conj AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scores s JOIN qn ON s.query_id = qn.query_id
+    WHERE s.nmatch = qn.nreq),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM conj)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
 _SQL_BM25_TOPK = f"""
 WITH {_SQL_POSTINGS},
   stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
@@ -292,6 +358,25 @@ WITH {_SQL_POSTINGS},
     FROM scores)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
 """
+
+
+_SQL_BM25_AND_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  queries AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, term FROM queries WHERE term <> ''),
+{_SQL_BM25_AND_TOPK_TEMPLATE.lstrip()}"""
 
 
 # --- similarity family over the lineitem matrix -----------------------------
@@ -1259,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_weights": _q_tfidf_weights,
         "bm25_topk": _q_bm25_topk,
         "bm25_index_topk": _q_bm25_index_topk,
+        "bm25_and_topk": _q_bm25_and_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1336,6 +1422,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "tfidf_weights": _SQL_TFIDF,
         "bm25_topk": _SQL_BM25_TOPK,
         "bm25_index_topk": _SQL_BM25_TOPK,
+        "bm25_and_topk": _SQL_BM25_AND_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

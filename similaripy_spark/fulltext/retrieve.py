@@ -70,8 +70,13 @@ def topk(
     path: str | None = None,
     query_weighted: bool = False,
     point_cutoff: int = POINT_CUTOFF,
+    mode: str = "or",
 ) -> DataFrame:
     """BM25 top-k over a built index; physical path auto-routed.
+
+    ``mode='and'`` returns only docs containing every query term
+    (posting-list intersection — segment path only, so it forces
+    ``path='segment'``); default ``'or'`` is the BM25 union ranking.
 
     ``path`` forces 'segment' | 'bucket' | 'term_major' (parity testing /
     expert override). Weighted queries (``weights`` column) are only
@@ -95,7 +100,9 @@ def topk(
         queries = queries.withColumn("terms", tokenize_expr(F.col("text")))
     meta = read_meta(index_dir)
     has_merged = os.path.isdir(os.path.join(index_dir, "merged"))
-    if query_weighted:
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if query_weighted or mode == "and":
         path = "segment"
     elif path is None:
         n_q = queries.count()
@@ -115,6 +122,7 @@ def topk(
             query_weighted=query_weighted,
             index_dir=index_dir,
             weight_scheme=meta.get("weight_scheme", "prod"),
+            mode=mode,
         )
     if path == "term_major":
         return term_major_topk(spark, index_dir, queries, k=k)

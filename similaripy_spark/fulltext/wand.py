@@ -295,6 +295,51 @@ def _score_maxscore(idx: _ShardIndex, terms, k: int):
     return acc_docs, acc_scores
 
 
+def _score_intersect(idx: _ShardIndex, terms) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive (AND) scoring by literal posting-list intersection —
+    the classic rarest-first algorithm over the block-compressed lists
+    (Manning/Raghavan/Schütze IR ch.1 intersection, plus block skipping):
+
+    1. decode the rarest term's postings in full (the candidate set can
+       only shrink from there);
+    2. every other term, rarest first, decodes ONLY the blocks whose
+       [first_doc, max_doc] range contains a surviving candidate (the
+       per-block metadata doubles as a skip list — two searchsorted calls
+       against the sorted candidate array select the blocks);
+    3. candidates are intersected by binary search into the decoded docs
+       (both sides doc-sorted) and accumulate the term's BM25 weight.
+
+    A term absent from this shard (or from the whole index) empties the
+    result — strict AND. Cost is O(df_rarest × Σ log df_t) plus only the
+    overlapping blocks' decode, independent of the largest list's size."""
+    metas = []
+    for t in dict.fromkeys(terms):
+        se = idx._slice.get(t)
+        if se is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        s, e = se
+        metas.append((int(idx._n[s:e].sum()), t))
+    metas.sort()
+    docs, w = idx.decode_blocks(metas[0][1])
+    scores = w.astype(np.float64, copy=True)  # decode may return the memo
+    for _, t in metas[1:]:
+        if len(docs) == 0:
+            break
+        s, e = idx._slice[t]
+        lo = np.searchsorted(docs, idx._first[s:e], side="left")
+        hi = np.searchsorted(docs, idx._maxd[s:e], side="right")
+        mask = hi > lo
+        if not mask.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        td, tw = idx.decode_blocks(t, block_mask=mask)
+        pos = np.searchsorted(td, docs)
+        pos_c = np.minimum(pos, len(td) - 1)
+        hit = td[pos_c] == docs
+        docs = docs[hit]
+        scores = scores[hit] + tw[pos_c[hit]]
+    return docs, scores
+
+
 def _local_topk(docs, scores, k):
     if len(docs) == 0:
         return docs, scores
@@ -432,6 +477,7 @@ DEEP_K_CUTOFF = 512
 def _score_batch(
     idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int | None = None,
     query_weighted: bool = False, tau: np.ndarray | None = None,
+    mode: str = "or",
 ) -> pd.DataFrame:
     """Dense-accumulator batch scorer — the distributed twin of the
     reference's SPA (s_plus.h:71-240), vectorized across a whole query
@@ -473,6 +519,13 @@ def _score_batch(
     qlens = np.array([len(t) for t in term_lists], np.int64)
     if qlens.sum() == 0:
         return pd.DataFrame(_EMPTY_RESULT)
+    # AND mode: a doc qualifies only when its per-cell distinct-term match
+    # count reaches the query's FULL distinct term count (terms absent from
+    # the index or this shard can never be matched → strict AND empties)
+    nreq = (
+        np.array([len(dict.fromkeys(t)) for t in term_lists], np.int64)
+        if mode == "and" else None
+    )
     all_terms = np.concatenate(term_lists)
     all_qi = np.repeat(np.arange(n_q, dtype=np.int64), qlens)
     codes, uniq_terms = pd.factorize(all_terms)
@@ -576,8 +629,15 @@ def _score_batch(
             wts = wts * np.repeat(p_qw, lens)
         nbins = nq * span
         S = np.bincount(flat, weights=wts, minlength=nbins).reshape(nq, span)
-        matched = np.bincount(flat, minlength=nbins).reshape(nq, span) > 0
+        cnt = np.bincount(flat, minlength=nbins).reshape(nq, span)
+        matched = cnt > 0
         S[~matched] = -np.inf
+        if nreq is not None:
+            # deduped (query, term) pairs scatter each matching term once
+            # per doc, so cnt IS the distinct-term match count
+            conj = cnt >= nreq[c0:c1, None]
+            S[~conj] = -np.inf
+            matched &= conj
 
         kk = min(k, span)
         if kk < span:
@@ -618,9 +678,18 @@ def segment_topk(
     index_dir: str | None = None,
     weight_scheme: str | None = None,
     deep_paging: bool | None = None,
+    mode: str = "or",
 ) -> DataFrame:
     """queries(query_id, terms) × doc-sharded segments → global top-k
     (query_id, doc_id, score, rank).
+
+    ``mode='or'`` (default) ranks any doc matching ≥1 query term (the BM25
+    union semantics of the reference's sparse dot products); ``mode='and'``
+    keeps only docs containing EVERY query term — the batch scorer filters
+    on its distinct-term match-count grid, the point path runs rarest-first
+    posting-list intersection with per-block [first_doc, max_doc] skipping
+    (_score_intersect). AND is shard-local decidable (a doc's postings live
+    wholly in its shard), so the global merge is unchanged.
 
     ``batch=True`` scores every query of a shard in one vectorized pass
     (fastest for large batches, exhaustive); ``batch=False`` scores
@@ -642,6 +711,8 @@ def segment_topk(
     (round-3 format). Factored scoring needs ``index_dir`` (for term_stats
     + n_docs).
     """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if batch is None:
         batch = True
     if query_weighted and not batch:
@@ -727,11 +798,14 @@ def segment_topk(
                         q_pdf["tau"].to_numpy(np.float64)
                         if with_tau else None
                     ),
+                    mode=mode,
                 )
             out_q, out_d, out_s = [], [], []
             for qid, terms in zip(q_pdf["query_id"], q_pdf["terms"]):
                 uterms = list(dict.fromkeys(terms))
-                if prune:
+                if mode == "and":
+                    docs, scores = _score_intersect(idx, uterms)
+                elif prune:
                     docs, scores = _score_maxscore(idx, uterms, k_emit)
                 else:
                     docs, scores = _score_exhaustive(idx, uterms)

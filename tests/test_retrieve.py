@@ -149,3 +149,69 @@ def test_deep_paging_two_pass_rank_identity(spark, tmp_path):
     assert list(two["query_id"]) == list(one["query_id"])
     assert list(two["doc_id"]) == list(one["doc_id"])
     np.testing.assert_allclose(two["score"], one["score"], rtol=1e-9)
+
+
+def test_and_mode_relational_parity(spark, built):
+    """mode='and' through the full index engine must equal the relational
+    AND oracle: docs containing EVERY query term, scored by the same BM25
+    sum, top-k by (score DESC, doc_id ASC). Batch and point paths agree,
+    and the seg-side idf serve path gives identical rows."""
+    from pyspark.sql import functions as F
+
+    from similaripy_spark.fulltext.index_build import (
+        read_meta,
+        read_segments,
+    )
+    from similaripy_spark.fulltext.wand import (
+        segment_topk,
+        segments_with_idf,
+    )
+    from similaripy_spark.fulltext.weights import bm25_weights
+    from similaripy_spark.fulltext.postings import build_postings
+    from similaripy_spark.operators.topk import top_k
+
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    queries = spark.createDataFrame(
+        generate_queries_pandas(60, vocab_size=VOCAB)
+    )
+    got = (
+        topk(spark, built, queries, k=10, mode="and")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    # relational oracle: per-(query, doc) distinct-term match count must
+    # equal the query's distinct term count
+    w = bm25_weights(build_postings(pages))
+    qt = queries.select(
+        "query_id", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    nreq = qt.groupBy("query_id").agg(F.count("*").alias("nreq"))
+    joined = qt.join(w, "term").groupBy("query_id", "doc_id").agg(
+        F.sum("weight").alias("score"),
+        F.count("*").alias("nmatch"),
+    )
+    exp = (
+        top_k(
+            joined.join(nreq, "query_id")
+            .filter(F.col("nmatch") == F.col("nreq"))
+            .select("query_id", "doc_id", "score"),
+            10, group="query_id", order_value="score", tiebreak="doc_id",
+            keep_rank=True,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["query_id"]) == list(exp["query_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-4)
+
+    # point path + serve path parity
+    meta = read_meta(built)
+    sids = list(range(int(meta["n_shards"])))
+    seg = segments_with_idf(read_segments(spark, built), built)
+    for kwargs in (dict(batch=False), dict(batch=True)):
+        alt = (
+            segment_topk(seg, queries, k=10, shard_ids=sids,
+                         index_dir=built, mode="and", **kwargs)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert list(alt["doc_id"]) == list(got["doc_id"]), kwargs

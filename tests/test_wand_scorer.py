@@ -104,3 +104,60 @@ def test_maxscore_unknown_and_single_term():
     d1, s1 = _local_topk(*_score_exhaustive(idx, ["t001"]), 10)
     d2, s2 = _local_topk(*_score_maxscore(idx, ["t001"], 10), 10)
     assert np.array_equal(d1, d2)
+
+
+@pytest.mark.parametrize("neg_shift", [0.0, 3.5])
+@pytest.mark.parametrize("seed", [6, 7])
+def test_intersect_matches_bruteforce_and(seed, neg_shift):
+    """_score_intersect (rarest-first block-skip intersection) must equal
+    the brute-force AND: exhaustive union scores restricted to docs present
+    in EVERY query term's posting list."""
+    from similaripy_spark.fulltext.wand import _score_intersect
+
+    rng = np.random.default_rng(seed)
+    seg = make_shard(rng, neg_shift=neg_shift)
+    terms = sorted(seg["term"].unique())
+    idx = _ShardIndex(seg)
+    for _ in range(60):
+        qt = list(rng.choice(terms, size=int(rng.integers(1, 5)),
+                             replace=False))
+        docs_u, scores_u = _score_exhaustive(idx, qt)
+        keep = np.ones(len(docs_u), bool)
+        for t in qt:
+            keep &= np.isin(docs_u, idx.decode_blocks(t)[0])
+        exp_d, exp_s = docs_u[keep], scores_u[keep]
+        got_d, got_s = _score_intersect(idx, qt)
+        order_e, order_g = np.argsort(exp_d), np.argsort(got_d)
+        assert np.array_equal(exp_d[order_e], got_d[order_g]), qt
+        np.testing.assert_allclose(
+            exp_s[order_e], got_s[order_g], rtol=1e-9
+        )
+        # absent term -> strict AND empties
+        d0, _ = _score_intersect(idx, qt + ["zzz_absent"])
+        assert len(d0) == 0
+
+
+def test_batch_and_mode_matches_intersect():
+    from similaripy_spark.fulltext.wand import _score_intersect
+
+    rng = np.random.default_rng(11)
+    seg = make_shard(rng)
+    terms = sorted(seg["term"].unique())
+    idx = _ShardIndex(seg)
+    qrows = []
+    for qi in range(120):
+        qt = list(rng.choice(terms, size=int(rng.integers(1, 5)),
+                             replace=False))
+        if qi % 7 == 0:
+            qt.append("zzz_absent")  # strict-AND empty rows interleaved
+        qrows.append((qi, qt))
+    q_pdf = pd.DataFrame(qrows, columns=["query_id", "terms"])
+    k = 10
+    got = _score_batch(_ShardIndex(seg), q_pdf, k, mode="and")
+    for qi, qt in qrows:
+        d1, s1 = _local_topk(*_score_intersect(idx, qt), k)
+        sub = got[got.query_id == qi].sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        )
+        assert list(sub["doc_id"]) == d1.tolist(), f"q{qi} terms={qt}"
+        np.testing.assert_allclose(sub["score"], s1, rtol=1e-9)
