@@ -944,8 +944,34 @@ class IndexBuilder:
         """Job 3: (term, df, max_weight, min_weight) from block metadata —
         df = Σn over a term's blocks (every posting appears in exactly one
         block), max/min from the Block-Max per-block scores. Scans blocks
-        (~postings/block_size rows), never the postings."""
+        (~postings/block_size rows), never the postings.
+
+        Small indexes skip the job entirely: per-group block counts are
+        already in the lineage manifests, so when the whole block table is
+        ≤ SIMILARIPY_TERM_STATS_DRIVER_MAX_BLOCKS rows (default 4M ≈ a few
+        hundred MB of postings) the four metadata columns are aggregated
+        driver-side with pyarrow — a whole Spark job (~1.3-1.7 s of pure
+        fixed cost per build at local[8]) gone. Anything bigger takes the
+        distributed aggregate below; a 10^12-doc block table never comes
+        near the driver."""
         ts_path = os.path.join(self.index_dir, "term_stats")
+        gate = int(os.environ.get(
+            "SIMILARIPY_TERM_STATS_DRIVER_MAX_BLOCKS", "4000000"
+        ))
+        try:
+            total_blocks = sum(
+                int(r.get("blocks", 0))
+                for r in self.lineage()
+                if r.get("stage") == "segment_build"
+            )
+        except (OSError, KeyError, ValueError):
+            total_blocks = None
+        if (
+            total_blocks is not None
+            and total_blocks <= gate
+            and self._write_term_stats_driver(ts_path)
+        ):
+            return
         seg = read_segments(spark, self.index_dir)
         ts = (
             seg.groupBy("term")
@@ -959,6 +985,64 @@ class IndexBuilder:
         ts_tmp = self.commit.stage_path(ts_path)
         ts.write.mode("overwrite").parquet(ts_tmp)
         self.commit.commit_dir(ts_tmp, ts_path)
+
+    def _write_term_stats_driver(self, ts_path: str) -> bool:
+        """Small-index fast path: aggregate (term, n, max_score, min_score)
+        over the committed group prefixes with pyarrow on the driver and
+        publish through the same stage→commit protocol. Returns False when
+        the layout can't be resolved locally (caller falls back to the
+        Spark job). Output is dtype-identical to the job's parquet
+        (TERM_STATS_SCHEMA) — pinned by a parity test."""
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        seg_dir = os.path.join(self.index_dir, "segments")
+        locs = resolve_artifact_multi(seg_dir, "group=")
+        if locs is not None:
+            paths = [loc for _, loc in locs]
+        elif os.path.isdir(seg_dir):
+            paths = [
+                os.path.join(seg_dir, f)
+                for f in os.listdir(seg_dir)
+                if f.startswith("group=")
+            ]
+        else:
+            return False
+        # a committed group with no shards holds no files — skip it
+        paths = [
+            p for p in paths
+            if os.path.isdir(p) and _glob.glob(os.path.join(p, "*.parquet"))
+        ]
+        if not paths:
+            return False
+        cols = ["term", "n", "max_score", "min_score"]
+        t = pa.concat_tables(
+            pads.dataset(p, format="parquet").to_table(columns=cols)
+            for p in paths
+        )
+        agg = pa.TableGroupBy(t, "term").aggregate(
+            [("n", "sum"), ("max_score", "max"), ("min_score", "min")]
+        )
+        out = agg.rename_columns(
+            ["term", "df", "max_weight", "min_weight"]
+        ).cast(
+            pa.schema(
+                [
+                    ("term", pa.string()),
+                    ("df", pa.int64()),
+                    ("max_weight", pa.float32()),
+                    ("min_weight", pa.float32()),
+                ]
+            )
+        )
+        ts_tmp = self.commit.stage_path(ts_path)
+        os.makedirs(ts_tmp, exist_ok=True)
+        pq.write_table(out, os.path.join(ts_tmp, "part-00000.parquet"))
+        self.commit.commit_dir(ts_tmp, ts_path)
+        return True
 
 
 def read_segments(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -413,3 +413,28 @@ def test_term_stats(spark, built):
     )
     assert ts["df"].to_dict() == raw["df"].to_dict()
     assert (ts["max_weight"] >= ts["min_weight"]).all()
+
+
+def test_term_stats_driver_path_matches_spark_job(spark, tmp_path, monkeypatch):
+    """The small-index driver-side term_stats aggregate (pyarrow over the
+    committed block metadata) must be value- AND dtype-identical to the
+    Spark-job aggregate it replaces below the block-count gate."""
+    from similaripy_spark.fulltext.index_build import read_term_stats
+
+    pages = generate_pages(spark, 700, vocab_size=900)
+    d_drv = str(tmp_path / "ts_drv")
+    IndexBuilder(d_drv, shard_size=256, n_groups=2).build(pages)
+    d_job = str(tmp_path / "ts_job")
+    monkeypatch.setenv("SIMILARIPY_TERM_STATS_DRIVER_MAX_BLOCKS", "0")
+    IndexBuilder(d_job, shard_size=256, n_groups=2).build(pages)
+    a = read_term_stats(spark, d_drv)
+    b = read_term_stats(spark, d_job)
+    assert a.schema == b.schema
+    pa_, pb_ = (
+        x.toPandas().sort_values("term").reset_index(drop=True)
+        for x in (a, b)
+    )
+    assert list(pa_["term"]) == list(pb_["term"])
+    np.testing.assert_array_equal(pa_["df"], pb_["df"])
+    np.testing.assert_array_equal(pa_["max_weight"], pb_["max_weight"])
+    np.testing.assert_array_equal(pa_["min_weight"], pb_["min_weight"])
