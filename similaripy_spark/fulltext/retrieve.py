@@ -75,8 +75,9 @@ def topk(
     """BM25 top-k over a built index; physical path auto-routed.
 
     ``mode='and'`` returns only docs containing every query term
-    (posting-list intersection — segment path only, so it forces
-    ``path='segment'``); default ``'or'`` is the BM25 union ranking.
+    (posting-list intersection — served by both the segment sweep and the
+    term-major point path; the bucket path raises); default ``'or'`` is
+    the BM25 union ranking.
 
     ``path`` forces 'segment' | 'bucket' | 'term_major' (parity testing /
     expert override). Weighted queries (``weights`` column) are only
@@ -102,7 +103,10 @@ def topk(
     has_merged = os.path.isdir(os.path.join(index_dir, "merged"))
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    if query_weighted or mode == "and":
+    if mode == "and" and path == "bucket":
+        raise ValueError("mode='and' is served by the segment and "
+                         "term_major paths, not 'bucket'")
+    if query_weighted:
         path = "segment"
     elif path is None:
         n_q = queries.count()
@@ -125,7 +129,7 @@ def topk(
             mode=mode,
         )
     if path == "term_major":
-        return term_major_topk(spark, index_dir, queries, k=k)
+        return term_major_topk(spark, index_dir, queries, k=k, mode=mode)
     if path == "bucket":
         return bucket_topk(spark, index_dir, queries, k=k)
     raise ValueError(f"unknown path {path!r}")

@@ -879,9 +879,17 @@ def term_major_topk(
     prune: bool = True,
     n_buckets: int | None = None,
     max_pruned_terms: int = 10_000,
+    mode: str = "or",
 ) -> DataFrame:
     """Point-query path over the term-major merged layout: bucket-pruned scan
     of exactly the queried terms' blocks, then one scoring pass per query.
+
+    ``mode='and'``: rarest-first posting-list intersection inside the
+    per-query group (every queried term's full posting list is shipped
+    there, so the intersection is complete). Query terms absent from the
+    index vanish at the blocks⋈terms join, so the query's distinct term
+    count is attached BEFORE the join (``nreq``) — a group holding fewer
+    distinct terms than nreq returns empty, the strict-AND contract.
 
     Best when the query batch is small and selective (the blocks of each
     query's terms are shipped to that query's group). For large batches use
@@ -900,9 +908,16 @@ def term_major_topk(
         read_merged_for_terms,
     )
 
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if n_buckets is None:
         n_buckets = merged_n_buckets(index_dir)
     qterms = queries.select("query_id", F.explode("terms").alias("term"))
+    qn = (
+        qterms.groupBy("query_id")
+        .agg(F.countDistinct("term").alias("nreq"))
+        if mode == "and" else None
+    )
     factored = _index_is_factored(index_dir)
     if factored:
         qterms = qterms.join(_index_idf_table(spark, index_dir), "term",
@@ -917,6 +932,8 @@ def term_major_topk(
         merged = spark.read.parquet(_os.path.join(index_dir, "merged"))
         blocks = merged.join(dterms, "term", "left_semi")
         joined = blocks.join(qterms, "term")
+    if qn is not None:
+        joined = joined.join(F.broadcast(qn), "query_id")
 
     def score_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         qid = key[0]
@@ -930,7 +947,11 @@ def term_major_topk(
             }
         idx = _ShardIndex(seg, idf=idf)
         uterms = list(dict.fromkeys(pdf["term"]))
-        if prune:
+        if "nreq" in pdf.columns:
+            if len(uterms) < int(pdf["nreq"].iloc[0]):
+                return pd.DataFrame(_EMPTY_RESULT)
+            docs, scores = _score_intersect(idx, uterms)
+        elif prune:
             docs, scores = _score_maxscore(idx, uterms, k)
         else:
             docs, scores = _score_exhaustive(idx, uterms)

@@ -215,3 +215,32 @@ def test_and_mode_relational_parity(spark, built):
             .reset_index(drop=True)
         )
         assert list(alt["doc_id"]) == list(got["doc_id"]), kwargs
+
+
+def test_and_mode_term_major_parity(spark, built):
+    """mode='and' through the term-major point path must equal the segment
+    path row-for-row, including queries with an index-absent term (strict
+    AND: empty — the nreq guard, since absent terms vanish at the
+    blocks⋈terms join)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    qpd = generate_queries_pandas(12, vocab_size=VOCAB)
+    qpd["terms"] = qpd["terms"].map(list)
+    qpd.at[0, "terms"] = qpd.at[0, "terms"] + ["zz_absent_term"]
+    queries = spark.createDataFrame(qpd)
+    seg = (
+        topk(spark, built, queries, k=10, mode="and", path="segment")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    tm = (
+        topk(spark, built, queries, k=10, mode="and", path="term_major")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(tm["query_id"]) == list(seg["query_id"])
+    assert list(tm["doc_id"]) == list(seg["doc_id"])
+    np.testing.assert_allclose(tm["score"], seg["score"], rtol=1e-6)
+    # the absent-term query returned nothing on either path
+    assert 0 not in set(seg["query_id"])
+    with pytest.raises(ValueError, match="bucket"):
+        topk(spark, built, queries, k=10, mode="and", path="bucket")
