@@ -295,6 +295,129 @@ def _score_maxscore(idx: _ShardIndex, terms, k: int):
     return acc_docs, acc_scores
 
 
+def _score_bmw(idx: _ShardIndex, terms, k: int):
+    """Block-Max WAND (Ding & Suel 2011) re-shaped for a vectorized batch
+    kernel: pivot-and-skip realized as BEST-FIRST scoring of doc-range
+    segments under block-max upper bounds.
+
+    Classic BMW walks doc-at-a-time, sorts term pointers, picks the pivot
+    where the running block-max sum first reaches θ, and skips to it — an
+    inherently sequential pointer dance that is pathological in Python.
+    The same skipping decision can be made for WHOLE doc ranges at once:
+
+    1. cut doc space at every block boundary of the query's terms → a
+       piecewise-constant upper bound UB(range) = Σ max(block_max, 0) over
+       covering blocks (one np.add.at sweep over all blocks);
+    2. visit segments in DESCENDING UB order, chunk at a time; a chunk
+       decodes only the blocks overlapping its segments (block_mask) and
+       exactly scores the docs inside them (every block containing such a
+       doc overlaps the doc's segment, so scores are complete);
+    3. θ = exact k-th best score so far; stop as soon as the next
+       segment's UB < θ. Every unvisited doc has score ≤ its segment's
+       UB < θ — exactly BMW's skip invariant, applied range-wise.
+
+    Exact for negative idf too (unclamped reference semantics): block
+    bounds arrive idf-adjusted from term_meta, and a block whose effective
+    max is negative contributes 0 to UB (a doc need not contain the term).
+
+    MEASURED VERDICT (100k-doc Zipf corpus, ~4.5-term queries, k=10,
+    kernel-only, 200 queries, best-of-2, after tuning chunk size 64→16k
+    and adding full-decode memoization for hot terms): BMW 5.09 s vs
+    MaxScore 3.27 s — a ~1.5× LOSS, so Block-Max MaxScore stays the point
+    path's default (same precedent as the bucket-pruning negative result).
+    Why it loses HERE: the reference's unclamped idf makes hot terms'
+    weights NEGATIVE, so their blocks contribute 0 to every upper bound
+    yet must still be decoded for the exact score of any doc in a visited
+    segment — segment-wise skipping cannot avoid the most expensive lists,
+    while term-at-a-time MaxScore touches them once, in a single
+    vectorized membership probe over the candidate set. On a
+    positive-weight corpus (clamped idf / rare-term queries) the
+    best-first order would skip far more; the kernel stays available as
+    ``scorer='bmw'`` in term_major_topk. Rank/score identity vs MaxScore
+    and the exhaustive scan is pinned in tests (incl. negative-idf
+    factored indexes).
+    """
+    metas = []
+    for t in dict.fromkeys(terms):
+        m = idx.term_meta(t)
+        if m is not None:
+            metas.append((t, m))
+    if not metas:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    firsts = np.concatenate([m[2] for _, m in metas])
+    maxds = np.concatenate([m[3] for _, m in metas])
+    ubs = np.concatenate([np.maximum(m[4], 0.0) for _, m in metas])
+    # segment boundaries: every block start and one-past-every-block-end
+    bounds = np.unique(np.concatenate([firsts, maxds + 1]))
+    delta = np.zeros(len(bounds) + 1, np.float64)
+    np.add.at(delta, np.searchsorted(bounds, firsts), ubs)
+    np.add.at(delta, np.searchsorted(bounds, maxds + 1), -ubs)
+    ub_seg = np.cumsum(delta[:-1])[:-1]  # UB of [bounds[i], bounds[i+1])
+    n_seg = len(ub_seg)
+    if n_seg == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    order = np.argsort(-ub_seg, kind="stable")
+    # per-term segment-index span of each block (for overlap tests)
+    blk_lo = {t: np.searchsorted(bounds, m[2], side="right") - 1
+              for t, m in metas}
+    blk_hi = {t: np.searchsorted(bounds, m[3], side="right") - 1
+              for t, m in metas}
+
+    acc_docs = np.zeros(0, np.int64)
+    acc_scores = np.zeros(0, np.float64)
+    theta = -np.inf
+    pos = 0
+    chunk = max(16 * k, 1024)
+    while pos < n_seg:
+        if len(acc_docs) >= k and ub_seg[order[pos]] < theta:
+            break  # every remaining segment's UB < θ: BMW skip, exact
+        take = order[pos:pos + chunk]
+        if len(acc_docs) >= k:
+            take = take[ub_seg[take] >= theta]
+            if len(take) == 0:
+                break
+        pos += chunk
+        sel = np.zeros(n_seg + 1, np.int64)
+        sel[take] = 1
+        csel = np.concatenate(([0], np.cumsum(sel)))
+        d_parts, w_parts = [], []
+        for t, _m in metas:
+            lo, hi = blk_lo[t], blk_hi[t]
+            # block needed iff any selected segment index in [lo, hi]
+            need = (csel[hi + 1] - csel[lo]) > 0
+            n_need = int(need.sum())
+            if n_need == 0:
+                continue
+            # hot terms overlap almost every chunk: the memoized full-term
+            # decode (paid once, reused every chunk) beats re-decoding the
+            # same blocks chunk after chunk once a fair share is needed
+            if n_need >= max(2, len(need) // 4):
+                d, w = idx.decode_blocks(t)
+            else:
+                d, w = idx.decode_blocks(t, block_mask=need)
+            # keep only docs inside the chunk's segments (a decoded block
+            # may span unselected segments; those docs score later or never)
+            seg_of = np.searchsorted(bounds, d, side="right") - 1
+            inside = sel[seg_of] == 1
+            d_parts.append(d[inside])
+            w_parts.append(w[inside])
+        if d_parts:
+            docs = np.concatenate(d_parts)
+            ws = np.concatenate(w_parts)
+            if len(docs):
+                udocs, inv = np.unique(docs, return_inverse=True)
+                scores = np.bincount(inv, weights=ws, minlength=len(udocs))
+                # segments are disjoint and visited once: no doc repeats
+                acc_docs = np.concatenate([acc_docs, udocs])
+                acc_scores = np.concatenate([acc_scores, scores])
+        if len(acc_docs) >= k:
+            theta = np.partition(acc_scores, len(acc_scores) - k)[
+                len(acc_scores) - k
+            ]
+    order_out = np.argsort(acc_docs, kind="stable")
+    return acc_docs[order_out], acc_scores[order_out]
+
+
 def _score_intersect(idx: _ShardIndex, terms) -> tuple[np.ndarray, np.ndarray]:
     """Conjunctive (AND) scoring by literal posting-list intersection —
     the classic rarest-first algorithm over the block-compressed lists
@@ -880,6 +1003,7 @@ def term_major_topk(
     n_buckets: int | None = None,
     max_pruned_terms: int = 10_000,
     mode: str = "or",
+    scorer: str = "maxscore",
 ) -> DataFrame:
     """Point-query path over the term-major merged layout: bucket-pruned scan
     of exactly the queried terms' blocks, then one scoring pass per query.
@@ -900,8 +1024,18 @@ def term_major_topk(
     ``max_pruned_terms`` — above the cap the scan degrades to a semi-join
     on the query terms (row-level pruning only, no partition pruning, but
     safe at any batch size).
+
+    ``scorer``: the OR-mode pruning kernel — 'maxscore' (Block-Max
+    MaxScore, default: measured ~1.5× faster than BMW on the Zipf corpus
+    because unclamped-idf hot terms defeat segment-wise skipping, see
+    _score_bmw's measured verdict) or 'bmw' (Block-Max WAND as best-first
+    segment scoring). Both are exact; rank identity is pinned in tests.
+    ``prune=False`` forces the exhaustive scan.
     """
     import os as _os
+
+    if scorer not in ("bmw", "maxscore"):
+        raise ValueError(f"scorer must be 'bmw' or 'maxscore', got {scorer!r}")
 
     from similaripy_spark.fulltext.index_merge import (
         merged_n_buckets,
@@ -951,6 +1085,8 @@ def term_major_topk(
             if len(uterms) < int(pdf["nreq"].iloc[0]):
                 return pd.DataFrame(_EMPTY_RESULT)
             docs, scores = _score_intersect(idx, uterms)
+        elif prune and scorer == "bmw":
+            docs, scores = _score_bmw(idx, uterms, k)
         elif prune:
             docs, scores = _score_maxscore(idx, uterms, k)
         else:

@@ -293,3 +293,27 @@ def test_open_index_raw_text_queries(spark, built):
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert list(got["doc_id"]) == list(want["doc_id"])
+
+
+def test_bmw_scorer_point_path_parity(spark, built):
+    """scorer='bmw' through the term-major point path must equal the
+    default MaxScore path row-for-row (measured-loss kernel kept available;
+    wand._score_bmw docstring carries the verdict)."""
+    from similaripy_spark.fulltext.wand import term_major_topk
+
+    queries = spark.createDataFrame(
+        generate_queries_pandas(12, vocab_size=VOCAB)
+    )
+    a = (
+        term_major_topk(spark, built, queries, k=10, scorer="bmw")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        term_major_topk(spark, built, queries, k=10, scorer="maxscore")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(a["query_id"]) == list(b["query_id"])
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)
+    with pytest.raises(ValueError, match="scorer"):
+        term_major_topk(spark, built, queries, k=10, scorer="wand2")
