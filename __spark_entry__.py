@@ -249,9 +249,12 @@ def _q_bm25_index_topk(spark, sf_dir):
     )
     d = tempfile.mkdtemp(prefix="entry_idx_")
     IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
-    picked = retrieve.topk(spark, d, queries, k=10).select(
-        "query_id", "doc_id"
-    )
+    # the PUBLIC load-once serve handle (round 5): meta + factored-idf
+    # segment annotation paid at open; .topk() is the per-batch call.
+    # cache=False — this is a single batch, nothing to amortize.
+    picked = retrieve.open_index(spark, d, cache=False).topk(
+        queries, k=10
+    ).select("query_id", "doc_id")
     w = bm25_weights(_postings(spark, sf_dir))
     qterms = queries.select(
         "query_id", F.explode("terms").alias("term")
