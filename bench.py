@@ -396,6 +396,12 @@ def headline_queries(
         # query isn't charged for session startup
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
         spark.range(1000).selectExpr("sum(id)").collect()
+        # the Python-worker/Arrow-UDF path is the same class of one-time
+        # session cost (measured ~3.0 s for the first mapInPandas vs 0.3 s
+        # for the second — interpreter fork + pandas/numpy imports): spawn
+        # it here so it isn't charged to whichever query happens to use an
+        # Arrow kernel first (r4/r5: ann_cosine_topk)
+        spark.range(1).mapInPandas(lambda it: it, "id long").count()
         qs = E.queries()
         picks = [
             "bm25_topk",
