@@ -269,6 +269,50 @@ def _q_bm25_index_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_point_topk(spark, sf_dir):
+    """BM25 top-10 through the term-major POINT path: build the factored
+    SPIMI index, merge it to the term-major global layout
+    (index_merge.merge_to_term_major), open it with the public handle and
+    force ``path='term_major'`` — the Block-Max MaxScore kernel over
+    partition-pruned per-term block buckets (wand._score_maxscore). This
+    puts the point path (routing + merged layout + MaxScore pruning) under
+    the hash-exact DuckDB gate; segment-path parity and the BMW kernel are
+    pinned separately in tests. As with bm25_index_topk, the selected
+    (query_id, doc_id) pairs are re-scored with exact float64 relational
+    weights so float32 index storage can hash-match the oracle. Shares
+    _SQL_BM25_TOPK (same query set, same rows)."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.index_merge import merge_to_term_major
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_point_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    merge_to_term_major(spark, d, n_buckets=8)
+    picked = retrieve.open_index(spark, d, cache=False).topk(
+        queries, k=10, path="term_major"
+    ).select("query_id", "doc_id")
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 def _q_bm25_and_topk(spark, sf_dir):
     """Conjunctive BM25 top-10 through the full index engine: build the
     factored SPIMI index, query with ``retrieve.topk(mode='and')`` — only
@@ -1347,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_weights": _q_tfidf_weights,
         "bm25_topk": _q_bm25_topk,
         "bm25_index_topk": _q_bm25_index_topk,
+        "bm25_point_topk": _q_bm25_point_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
@@ -1425,6 +1470,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "tfidf_weights": _SQL_TFIDF,
         "bm25_topk": _SQL_BM25_TOPK,
         "bm25_index_topk": _SQL_BM25_TOPK,
+        "bm25_point_topk": _SQL_BM25_TOPK,
         "bm25_and_topk": _SQL_BM25_AND_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
