@@ -165,7 +165,9 @@ class IndexHandle:
         if query_weighted:
             path = "segment"
         elif path is None:
-            n_q = queries.count()
+            # routing only needs "≤ point_cutoff?" — the limit makes the
+            # probe CollectLimit-cheap on arbitrarily large batches
+            n_q = queries.limit(point_cutoff + 1).count()
             path = route(n_q, self.has_merged, point_cutoff)
         elif path != "segment" and not self.has_merged:
             raise ValueError(
