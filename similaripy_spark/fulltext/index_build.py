@@ -1122,6 +1122,72 @@ def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def describe_index(spark: SparkSession, index_dir: str) -> dict:
+    """Operational index statistics — what an operator asks before pointing
+    a query fleet at an index. Driver-cheap by construction:
+
+    * ``meta.json`` scalars and the lineage build metrics are driver-side
+      file reads (no job);
+    * the physical stats run ONE column-pruned aggregate over the segment
+      BLOCK METADATA (``shard``, ``term``, ``n`` — never the posting
+      payload columns, so the scan reads kilobytes per block, not the
+      index), which also yields the per-shard posting distribution — the
+      skew signal that predicts straggler shards in the batch sweep.
+
+    Works on both commit backends (reads go through ``read_segments``'s
+    pointer resolution) and on merged and unmerged indexes.
+    """
+    from pyspark.sql import functions as F
+
+    from similaripy_spark.fulltext.index_merge import merged_n_buckets
+
+    meta = read_meta(index_dir)
+    seg = read_segments(spark, index_dir).select("shard", "term", "n")
+    row = (
+        seg.groupBy("shard")
+        .agg(
+            F.sum("n").alias("postings"),
+            F.count("*").alias("blocks"),
+            F.countDistinct("term").alias("terms"),
+        )
+        .agg(
+            F.sum("postings").alias("n_postings"),
+            F.sum("blocks").alias("n_blocks"),
+            F.count("*").alias("n_shards_nonempty"),
+            F.min("postings").alias("shard_postings_min"),
+            F.expr("percentile_approx(postings, 0.5)").alias(
+                "shard_postings_median"
+            ),
+            F.max("postings").alias("shard_postings_max"),
+            F.max("terms").alias("shard_terms_max"),
+        )
+        .first()
+    )
+    out = {
+        "index_dir": index_dir,
+        "n_docs": int(meta["n_docs"]),
+        "n_shards": int(meta["n_shards"]),
+        "shard_size": int(meta["shard_size"]),
+        "avgdl": float(meta["avgdl"]),
+        "weight_scheme": meta.get("weight_scheme", "prod"),
+        "n_postings": int(row["n_postings"] or 0),
+        "n_blocks": int(row["n_blocks"] or 0),
+        "n_shards_nonempty": int(row["n_shards_nonempty"] or 0),
+        "shard_postings": {
+            "min": int(row["shard_postings_min"] or 0),
+            "median": int(row["shard_postings_median"] or 0),
+            "max": int(row["shard_postings_max"] or 0),
+        },
+        "has_merged": os.path.isdir(os.path.join(index_dir, "merged")),
+    }
+    if out["has_merged"]:
+        out["merged_n_buckets"] = merged_n_buckets(index_dir)
+    bm = os.path.join(index_dir, "lineage", "build_metrics.json")
+    if os.path.exists(bm):
+        out["build_phase_ms"] = json.load(open(bm)).get("phase_ms")
+    return out
+
+
 def read_lineage(spark: SparkSession, index_dir: str) -> DataFrame:
     """Commit manifests as a queryable table
     (stage, group, status, run_id, blocks, postings, bytes, wall_ms)."""

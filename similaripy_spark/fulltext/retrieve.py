@@ -194,6 +194,13 @@ class IndexHandle:
             return bucket_topk(self.spark, self.index_dir, queries, k=k)
         raise ValueError(f"unknown path {path!r}")
 
+    def describe(self) -> dict:
+        """Operational stats for the opened index (index_build.describe_index
+        — one column-pruned metadata aggregate, no posting decode)."""
+        from similaripy_spark.fulltext.index_build import describe_index
+
+        return describe_index(self.spark, self.index_dir)
+
     def close(self) -> None:
         if self._cached:
             self.segments.unpersist()

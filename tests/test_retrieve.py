@@ -333,3 +333,25 @@ def test_bmw_scorer_point_path_parity(spark, built):
     np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)
     with pytest.raises(ValueError, match="scorer"):
         term_major_topk(spark, built, queries, k=10, scorer="wand2")
+
+
+def test_describe_index(spark, built):
+    """describe_index conservation laws: postings count equals the postings
+    relation's row count, shard distribution brackets, merged metadata and
+    build phases present; handle.describe() is the same dict."""
+    from similaripy_spark.fulltext.index_build import describe_index
+    from similaripy_spark.fulltext.postings import build_postings
+    from similaripy_spark.fulltext.retrieve import open_index
+
+    d = describe_index(spark, built)
+    assert d["n_docs"] == N_DOCS
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    assert d["n_postings"] == build_postings(pages).count()
+    sp = d["shard_postings"]
+    assert 0 < sp["min"] <= sp["median"] <= sp["max"]
+    assert d["n_shards_nonempty"] <= d["n_shards"]
+    assert d["has_merged"] and d["merged_n_buckets"] == 16
+    assert d["weight_scheme"] == "factored"
+    assert "segment_job" in (d.get("build_phase_ms") or {})
+    with open_index(spark, built, cache=False) as h:
+        assert h.describe() == d
