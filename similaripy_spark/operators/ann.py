@@ -17,6 +17,11 @@
   assignments persisted as cell-partitioned parquet + centroids + meta
   (CommitProtocol-published); queries partition-prune to their probed
   cells, no re-assignment per call.
+* ``pq_fit`` / ``pq_encode`` / ``pq_topk`` — product quantization: the
+  memory-compression scale path (m one-byte codes per vector, 32× smaller
+  than float32); ADC lookup-table scan over the codes relation → global
+  shortlist → exact re-rank against true vectors. ``refine`` covering the
+  corpus equals brute force exactly (pinned); recall@k measured in tests.
 * ``embedding_dedup_pairs`` — near-duplicate vectors (cosine ≥ threshold).
 
 Hyperplane coefficients are ±1 from an explicit integer hash of
@@ -720,3 +725,271 @@ def ivf_query(
         F.col("cid").isin(probed)
     )
     return _score_probed_cells(probes, members, k, exclude_self=exclude_self)
+
+
+# --- PQ (product quantization) -------------------------------------------------
+#
+# The memory-compression scale path for web-scale ANN: a 64-dim float32
+# vector (256 B) compresses to m=8 one-byte codes (8 B, 32×), so a
+# 100-TB embedding corpus's codes fit a fraction of the cluster's RAM and
+# the ADC scan is a pure table-lookup pass — no floats ever shipped.
+# Cosine metric throughout (vectors L2-normalized before training and
+# encoding, so subspace inner products against reconstruction centroids
+# approximate the cosine). The production pattern is ADC shortlist +
+# exact re-rank (``refine``); ``refine`` covering the whole corpus equals
+# brute force EXACTLY (pinned in tests — the same anchor ivf uses with
+# full-probe).
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    iters: int = 10,
+    train_cap_rows: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train per-subspace codebooks → float64 array (m, 2^nbits, dim//m).
+
+    Codebooks are tiny aggregates (m·2^nbits·dsub floats — ~128 KB at the
+    defaults), and PQ training needs only a bounded sample, so the k-means
+    runs driver-side on a DETERMINISTIC hash-ordered sample capped at
+    ``train_cap_rows`` (the xxhash64 order is corpus-size-stable and
+    unbiased; the collect is the same bounded pattern as ivf's centroid
+    table). Init per subspace is hash-bucket means (ivf_fit's rule);
+    empty clusters stay NaN and are excluded from assignment — the honest
+    dead-centroid handling, matching ivf.
+    """
+    import numpy as np
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    sample = (
+        base.withColumn("h", F.xxhash64("id"))
+        .orderBy("h")
+        .limit(train_cap_rows)
+        .select("v")
+        .toPandas()
+    )
+    X = np.array(sample["v"].tolist(), dtype=np.float64)
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    ksub = 1 << nbits
+    dsub = dim // m
+    books = np.full((m, ksub, dsub), np.nan)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        # deterministic hash-bucket init (integer hash of the row index —
+        # engine-independent, no RNG)
+        bucket = (np.arange(n, dtype=np.uint64) * np.uint64(_HA)
+                  + np.uint64(_HB)) % np.uint64(ksub)
+        C = np.full((ksub, dsub), np.nan)
+        for b in range(ksub):
+            rows = S[bucket == b]
+            if len(rows):
+                C[b] = rows.mean(axis=0)
+        for _ in range(iters):
+            dead = np.isnan(C).any(axis=1)
+            Cz = np.nan_to_num(C)
+            # L2 assignment on normalized data: argmin ||s - c||^2 =
+            # argmax (s·c - ||c||²/2)
+            d2 = S @ Cz.T - 0.5 * (Cz * Cz).sum(axis=1)
+            d2[:, dead] = -np.inf
+            a = d2.argmax(axis=1)
+            C = np.full((ksub, dsub), np.nan)
+            np.add.at(
+                Cz2 := np.zeros((ksub, dsub)), a, S
+            )
+            counts = np.bincount(a, minlength=ksub)
+            live = counts > 0
+            C[live] = Cz2[live] / counts[live, None]
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — distributed single pass, broadcast
+    codebooks, per-subspace nearest-centroid assignment on the
+    L2-normalized vector."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    books = np.asarray(codebooks)
+    m, ksub, dsub = books.shape
+    bc = emb.sparkSession.sparkContext.broadcast(books)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def encode(batches):
+        B = bc.value
+        for b in batches:
+            X = np.array(b[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((X * X).sum(axis=1))
+            norms[norms == 0] = 1.0
+            X = X / norms[:, None]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                C = B[j]
+                dead = np.isnan(C).any(axis=1)
+                Cz = np.nan_to_num(C)
+                d2 = X[:, j * dsub:(j + 1) * dsub] @ Cz.T \
+                    - 0.5 * (Cz * Cz).sum(axis=1)
+                d2[:, dead] = -np.inf
+                codes[:, j] = d2.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": b[id_col].to_numpy(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(encode, schema=schema)
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 8,
+    refine: int = 4,
+    codebooks=None,
+    codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """PQ-ANN cosine top-k (row, col, value).
+
+    1. ADC scan: each partition of the CODES relation scores every query
+       against its codes with per-query lookup tables (LUT[j][code] =
+       q_sub · centroid — m table lookups per candidate, no float
+       vectors shipped), emitting a per-partition shortlist of
+       ``refine·k`` (+boundary ties);
+    2. relational merge keeps the global ``refine·k`` ADC shortlist;
+    3. exact re-rank: shortlist pairs join back to the true vectors and
+       exact cosine picks the final k (deterministic tie rule).
+
+    ``refine`` ≥ corpus/k degrades to exact brute force (pinned in tests).
+    ``codes``/``codebooks`` accept a pre-encoded corpus (build-once /
+    query-many); by default both are derived here. The query side is the
+    emb relation itself (self-ANN, like ann_bruteforce_topk) broadcast as
+    LUTs — queries are capped the same way the gemm path caps its
+    broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    if codebooks is None:
+        codebooks = pq_fit(emb, m=m, nbits=nbits, id_col=id_col,
+                           vec_col=vec_col)
+    books = np.asarray(codebooks)
+    m, ksub, dsub = books.shape
+    if codes is None:
+        codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+
+    qpdf = emb.select(id_col, vec_col).limit(
+        GEMM_BROADCAST_CAP_ROWS + 1
+    ).toPandas()
+    if len(qpdf) > GEMM_BROADCAST_CAP_ROWS:
+        raise ValueError(
+            "pq_topk broadcasts the query side; cap exceeded — slice the "
+            "query set or use ann_bruteforce_topk(method='blocked')"
+        )
+    q_ids = qpdf[id_col].to_numpy(np.int64)
+    Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    # LUTs: (n_q, m, ksub) — q_sub · centroid, NaN (dead) cells → -inf so
+    # they can never be looked up as a best code anyway
+    luts = np.empty((len(Qn), m, ksub))
+    for j in range(m):
+        Cz = np.nan_to_num(books[j])
+        luts[:, j, :] = Qn[:, j * dsub:(j + 1) * dsub] @ Cz.T
+    bc = spark.sparkContext.broadcast((q_ids, luts))
+    shortlist = max(refine, 1) * k
+
+    schema = T.StructType(
+        [
+            T.StructField("row", T.LongType(), False),
+            T.StructField("col", T.LongType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def adc(batches):
+        ids_q, L = bc.value
+        for b in batches:
+            cids = b["id"].to_numpy(np.int64)
+            Cm = np.array(b["codes"].tolist(), dtype=np.int64)  # (n_c, m)
+            # S[q, c] = Σ_j L[q, j, Cm[c, j]] — one gather per subspace
+            S = np.zeros((len(ids_q), len(cids)))
+            for j in range(m):
+                S += L[:, j, :][:, Cm[:, j]]
+            if not include_self:
+                order = np.argsort(cids)
+                pos = np.clip(
+                    np.searchsorted(cids[order], ids_q), 0, len(cids) - 1
+                )
+                hit = cids[order][pos] == ids_q
+                S[np.arange(len(ids_q))[hit], order[pos[hit]]] = -np.inf
+            kk = min(shortlist, S.shape[1])
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            kth = S[np.arange(len(ids_q))[:, None], part].min(axis=1)
+            ri, ci = np.nonzero(S >= kth[:, None])
+            vals = S[ri, ci]
+            keep = np.isfinite(vals)
+            yield pd.DataFrame(
+                {"row": ids_q[ri[keep]], "col": cids[ci[keep]],
+                 "value": vals[keep]}
+            )
+
+    cand = codes.mapInPandas(adc, schema=schema)
+    short = top_k(cand, shortlist)
+    # exact re-rank of the ADC shortlist against the true vectors
+    # element-wise double math: float32 products would diverge ~1e-8 from
+    # the float64 oracle/brute-force scores
+    iv = emb.select(
+        F.col(id_col).cast("long").alias("col"),
+        F.col(vec_col).cast("array<double>").alias("_iv"),
+    )
+    qv = emb.select(
+        F.col(id_col).cast("long").alias("row"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "_iv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x
+    ))
+    exact = (
+        short.select("row", "col")
+        .join(F.broadcast(qv), "row")
+        .join(iv, "col")
+        .select(
+            "row", "col",
+            (dot / (nrm(F.col("_qv")) * nrm(F.col("_iv")))).alias("value"),
+        )
+    )
+    return top_k(exact, k)

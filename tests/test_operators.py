@@ -570,3 +570,62 @@ def test_extract_html_text(spark):
         .count()
     )
     assert n_bad == 0
+
+
+def test_pq_refine_all_equals_bruteforce(spark, embeddings):
+    """PQ with a shortlist covering the whole corpus is EXACT brute force —
+    the ADC order only selects candidates, the refine step re-scores them
+    with true vectors under the same deterministic tie rule (the analog of
+    ivf's full-probe anchor)."""
+    import pandas as pd
+
+    sub = embeddings.filter("vec_id < 120")
+    n = sub.count()
+    want = (
+        ann.ann_bruteforce_topk(sub, k=5)
+        .toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    )
+    got = (
+        ann.pq_topk(sub, k=5, m=8, nbits=4, refine=-(-n // 5))
+        .toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    )
+    assert list(got["row"]) == list(want["row"])
+    assert list(got["col"]) == list(want["col"])
+    np.testing.assert_allclose(got["value"], want["value"], rtol=1e-9)
+
+
+def test_pq_recall_and_determinism(spark, embeddings):
+    """Default shortlist (refine=4): measure recall@10 vs brute force —
+    approximate by design, must clear a floor; two fits produce identical
+    codebooks (hash init, no RNG) and identical codes."""
+    sub = embeddings.filter("vec_id < 400")
+    exact = ann.ann_bruteforce_topk(sub, k=10).toPandas()
+    books1 = ann.pq_fit(sub, m=8, nbits=6)
+    books2 = ann.pq_fit(sub, m=8, nbits=6)
+    np.testing.assert_array_equal(
+        np.nan_to_num(books1, nan=-1), np.nan_to_num(books2, nan=-1)
+    )
+    c1 = ann.pq_encode(sub, books1).toPandas().sort_values("id")
+    c2 = ann.pq_encode(sub, books2).toPandas().sort_values("id")
+    assert [list(x) for x in c1["codes"]] == [list(x) for x in c2["codes"]]
+    approx = ann.pq_topk(sub, k=10, refine=4, codebooks=books1).toPandas()
+    truth = {
+        r: set(g["col"]) for r, g in exact.groupby("row")
+    }
+    hits = sum(
+        len(set(g["col"]) & truth[r]) for r, g in approx.groupby("row")
+    )
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.6, recall
+
+
+def test_pq_encode_shape_and_range(spark, embeddings):
+    sub = embeddings.filter("vec_id < 100")
+    books = ann.pq_fit(sub, m=8, nbits=4)
+    assert books.shape == (8, 16, 8)  # 64-dim embeddings
+    codes = ann.pq_encode(sub, books).toPandas()
+    assert len(codes) == 100
+    arr = np.array([list(c) for c in codes["codes"]])
+    assert arr.shape == (100, 8)
+    assert arr.min() >= 0 and arr.max() < 16
