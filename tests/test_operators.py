@@ -629,3 +629,77 @@ def test_pq_encode_shape_and_range(spark, embeddings):
     arr = np.array([list(c) for c in codes["codes"]])
     assert arr.shape == (100, 8)
     assert arr.min() >= 0 and arr.max() < 16
+
+
+def test_ivfpq_full_probe_full_refine_is_exact(spark, embeddings, tmp_path):
+    """IVF-PQ with every cell probed and a corpus-covering shortlist is
+    exact brute force: the ADC order only shortlists, re-rank is true
+    double-precision cosine (the combined anchor of ivf full-probe and pq
+    refine-all)."""
+    sub = embeddings.filter("vec_id < 150")
+    d = str(tmp_path / "ivfpq")
+    meta = ann.ivf_build(sub, d, n_centroids=8, iters=2, pq_m=8, pq_nbits=4)
+    assert meta["pq_m"] == 8 and meta["pq_nbits"] == 4
+    n = sub.count()
+    want = (
+        ann.ann_bruteforce_topk(sub, k=5)
+        .toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    )
+    got = (
+        ann.ivf_query(spark, d, sub, k=5, n_probe=meta["n_centroids"],
+                      method="adc", refine=-(-n // 5))
+        .toPandas().sort_values(["row", "col"]).reset_index(drop=True)
+    )
+    assert list(got["row"]) == list(want["row"])
+    assert list(got["col"]) == list(want["col"])
+    np.testing.assert_allclose(got["value"], want["value"], rtol=1e-9)
+
+
+def test_ivfpq_adc_scan_prunes_vector_column(spark, embeddings, tmp_path):
+    """The ADC phase must never read the full-vector column: the probed-cell
+    scan's ReadSchema carries (iid, codes) only — the 32× I/O saving that
+    makes the columnar IVF-PQ layout worth it."""
+    sub = embeddings.filter("vec_id < 150")
+    d = str(tmp_path / "ivfpq_prune")
+    ann.ivf_build(sub, d, n_centroids=8, iters=2, pq_m=8, pq_nbits=4)
+    few = sub.filter("vec_id < 5")
+    from similaripy_spark.operators.ann import _adc_probed_cells, _assign_cells
+    import numpy as np, json, os
+    from pyspark.sql import functions as F
+
+    crows = spark.read.parquet(f"{d}/centroids").orderBy("cid").collect()
+    cents = np.array([r["c"] for r in crows])
+    brows = spark.read.parquet(f"{d}/pq_books").orderBy("j", "code").collect()
+    books = np.full((8, 16, 8), np.nan)
+    for r in brows:
+        books[int(r["j"]), int(r["code"])] = r["c"]
+    qbase = few.select(F.col("vec_id").cast("long").alias("id"),
+                       F.col("embedding").alias("v"))
+    probes = _assign_cells(qbase, cents, 2).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), "cid")
+    members = spark.read.parquet(f"{d}/cells").select("iid", "codes", "cid")
+    plan = _adc_probed_cells(probes, members, books, 20, True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "ReadSchema" in ln and "codes" in ln]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "iv:" not in ln.split("ReadSchema")[1], ln
+
+
+def test_ivfpq_recall_with_defaults(spark, embeddings, tmp_path):
+    sub = embeddings.filter("vec_id < 400")
+    d = str(tmp_path / "ivfpq_recall")
+    ann.ivf_build(sub, d, n_centroids=16, iters=3, pq_m=8, pq_nbits=6)
+    exact = ann.ann_bruteforce_topk(sub, k=10).toPandas()
+    approx = ann.ivf_query(spark, d, sub, k=10, n_probe=8,
+                           method="adc", refine=4).toPandas()
+    truth = {r: set(g["col"]) for r, g in exact.groupby("row")}
+    hits = sum(len(set(g["col"]) & truth[r]) for r, g in approx.groupby("row"))
+    recall = hits / sum(map(len, truth.values()))
+    assert recall >= 0.5, recall
+    # an index built WITHOUT pq rejects adc
+    d2 = str(tmp_path / "nopq")
+    ann.ivf_build(sub.filter("vec_id < 50"), d2, n_centroids=4, iters=1)
+    with pytest.raises(ValueError, match="pq_m"):
+        ann.ivf_query(spark, d2, sub, k=5, method="adc")
