@@ -1011,6 +1011,25 @@ def _q_ann_cosine(spark, sf_dir):
     )
 
 
+def _q_pq_refine_topk(spark, sf_dir):
+    """The FULL product-quantization machinery under the hash-exact gate:
+    deterministic codebook fit → distributed encode → ADC lookup-table
+    scan → global shortlist → exact double-precision re-rank. With the
+    shortlist covering the whole corpus the result is exact brute force
+    REGARDLESS of codebook quality (the ADC order only selects; re-rank
+    scores every candidate with true vectors), so the same SQL oracle as
+    ann_cosine_topk applies while every PQ stage still executes. Recall at
+    production shortlists is measured separately in tests."""
+    from similaripy_spark.operators.ann import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    out = pq_topk(emb, k=5, m=8, nbits=4, refine=-(-n // 5))
+    return out.select(
+        "row", F.col("col").alias("neighbor"), _r6("value").alias("score")
+    )
+
+
 _SQL_ANN_COSINE = """
 WITH m AS (
     SELECT vec_id AS row, t.col - 1 AS col, CAST(t.v AS DOUBLE) AS value
@@ -1429,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_log_prob": _q_tfidf_logprob,
         # embeddings / ANN
         "ann_cosine_topk": _q_ann_cosine,
+        "pq_refine_topk": _q_pq_refine_topk,
         "embedding_dedup_pairs": _q_embedding_dedup,
         "knn_label_vote": _q_knn_vote,
         # relational breadth
@@ -1502,6 +1522,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "winnow_fingerprints": _SQL_WINNOW,
         "lang_guess": _sql_lang_guess(),
         "ann_cosine_topk": _SQL_ANN_COSINE,
+        "pq_refine_topk": _SQL_ANN_COSINE,
         "embedding_dedup_pairs": _SQL_EMBEDDING_DEDUP,
         "knn_label_vote": _SQL_KNN_VOTE,
         "pricing_summary": _SQL_PRICING,
