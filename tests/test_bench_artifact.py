@@ -105,24 +105,34 @@ def test_best_clean_pair_ignores_storm_and_seeded_samples(tmp_path,
     rows = [
         # clean high, clean iso
         dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="shuffle",
-             n_conc=None, build_docs_per_sec=13858.8, queries_per_sec=482.6,
+             n_conc=None, max_partition_bytes="128m",
+             build_docs_per_sec=13858.8, queries_per_sec=482.6,
              steal_pct=0.1),
         dict(cpus=2, n_docs=300000, n_queries=15000, build_layout="shuffle",
-             n_conc=4, build_docs_per_sec=3458.8, queries_per_sec=123.2,
+             n_conc=4, max_partition_bytes="128m",
+             build_docs_per_sec=3458.8, queries_per_sec=123.2,
              steal_pct=3.9),
         # storm-hit high (slower): must not lower the high max
         dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="shuffle",
-             n_conc=None, build_docs_per_sec=6258.0, queries_per_sec=271.2,
+             n_conc=None, max_partition_bytes="128m",
+             build_docs_per_sec=6258.0, queries_per_sec=271.2,
              steal_pct=10.1),
         # storm-hit iso (slower): must not lower the iso max either (a
         # slower denominator would INFLATE efficiency)
         dict(cpus=2, n_docs=300000, n_queries=15000, build_layout="shuffle",
-             n_conc=4, build_docs_per_sec=994.0, queries_per_sec=40.0,
+             n_conc=4, max_partition_bytes="128m",
+             build_docs_per_sec=994.0, queries_per_sec=40.0,
              steal_pct=1.0),
         # seeded: excluded even though faster
         dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="shuffle",
-             n_conc=None, build_docs_per_sec=99999.0, queries_per_sec=9999.0,
+             n_conc=None, max_partition_bytes="128m",
+             build_docs_per_sec=99999.0, queries_per_sec=9999.0,
              steal_pct=0.0, seeded=True),
+        # other split config: different job, ignored even though faster
+        dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="shuffle",
+             n_conc=None, max_partition_bytes="16m",
+             build_docs_per_sec=77777.0, queries_per_sec=7777.0,
+             steal_pct=0.0),
         # different layout: different job, ignored
         dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="aligned",
              n_conc=None, build_docs_per_sec=88888.0, queries_per_sec=8888.0,
@@ -132,8 +142,8 @@ def test_best_clean_pair_ignores_storm_and_seeded_samples(tmp_path,
         for r in rows:
             f.write(json.dumps(r) + "\n")
     pair = bench._best_clean_pair(
-        (8, 300000, 15000, "shuffle", None),
-        (2, 300000, 15000, "shuffle", 4),
+        (8, 300000, 15000, "shuffle", None, "128m"),
+        (2, 300000, 15000, "shuffle", 4, "128m"),
         4.0,
     )
     assert pair["high_build_docs_per_sec"] == 13858.8
@@ -151,8 +161,8 @@ def test_best_clean_pair_missing_level_returns_none(tmp_path, monkeypatch):
                  build_layout="shuffle", n_conc=None,
                  build_docs_per_sec=1.0, queries_per_sec=1.0)) + "\n")
     assert bench._best_clean_pair(
-        (8, 300000, 15000, "shuffle", None),
-        (2, 300000, 15000, "shuffle", 4), 4.0) is None
+        (8, 300000, 15000, "shuffle", None, "128m"),
+        (2, 300000, 15000, "shuffle", 4, "128m"), 4.0) is None
 
 
 def test_append_history_dedups_by_flag(tmp_path, monkeypatch):
@@ -163,3 +173,36 @@ def test_append_history_dedups_by_flag(tmp_path, monkeypatch):
     lines = open(tmp_path / "BENCH" / "history.jsonl").read().splitlines()
     assert len(lines) == 1
     assert "_in_history" not in lines[0]
+
+
+def test_best_clean_pair_over_configs_selects_max_min(tmp_path, monkeypatch):
+    """Each split config is a consistent job; the headline takes the config
+    with the best min(build, query) pair. Legacy entries without the split
+    field count as 16m (the session default they ran under)."""
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    (tmp_path / "BENCH").mkdir()
+    rows = [
+        # 16m pair: 0.8 build, 0.9 query   (legacy row: no split field)
+        dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="shuffle",
+             n_conc=None, build_docs_per_sec=12800.0, queries_per_sec=460.8,
+             steal_pct=0.1),
+        dict(cpus=2, n_docs=300000, n_queries=15000, build_layout="shuffle",
+             n_conc=4, max_partition_bytes="16m",
+             build_docs_per_sec=4000.0, queries_per_sec=128.0, steal_pct=1.0),
+        # 128m pair: 1.0 build, 0.95 query -> wins on min()
+        dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="shuffle",
+             n_conc=None, max_partition_bytes="128m",
+             build_docs_per_sec=16000.0, queries_per_sec=486.4,
+             steal_pct=0.2),
+        dict(cpus=2, n_docs=300000, n_queries=15000, build_layout="shuffle",
+             n_conc=4, max_partition_bytes="128m",
+             build_docs_per_sec=4000.0, queries_per_sec=128.0, steal_pct=0.5),
+    ]
+    with open(tmp_path / "BENCH" / "history.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    pair = bench._best_clean_pair_over_configs(
+        8, 2, 300000, 15000, "shuffle", 4, 4.0)
+    assert pair["max_partition_bytes"] == "128m"
+    assert pair["build_efficiency"] == 1.0
+    assert pair["query_efficiency"] == 0.95
