@@ -360,6 +360,58 @@ def _q_bm25_and_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_append_topk(spark, sf_dir):
+    """BM25 top-10 through APPEND-ONLY ingestion (fulltext/append.py —
+    round 5): build a weight_scheme='raw' index over the first shard-aligned
+    half of the documents table, append_to_index the rest, query through
+    the public handle. Raw blocks store (tf, dl); the kernel derives the
+    tf-part at the MERGED corpus avgdl and term_stats idf is recomputed, so
+    build(A)+append(B) is exactly build(A∪B) — the oracle is therefore the
+    plain whole-corpus BM25 SQL (_SQL_BM25_TOPK), nothing append-specific.
+    The reference has no incremental path (normalization.py recomputes CSR
+    stats per call); this is engine extension surface. As with
+    bm25_index_topk, selected pairs are re-scored with exact float64
+    relational weights so float32 index storage hash-matches the oracle."""
+    import tempfile
+
+    from similaripy_spark.fulltext.append import append_to_index
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    shard = 128
+    hi = docs.agg(F.max("doc_id").alias("m")).first()["m"] or 0
+    # shard-aligned split near the middle (appends may only open NEW shards)
+    b = max(((int(hi) + 1) // 2) // shard * shard, shard)
+    d = tempfile.mkdtemp(prefix="entry_idx_append_")
+    IndexBuilder(d, shard_size=shard, n_groups=2,
+                 weight_scheme="raw").build(
+        docs.filter(F.col("doc_id") < b)
+    )
+    append_to_index(spark, d, pages=docs.filter(F.col("doc_id") >= b),
+                    n_groups=2)
+    picked = retrieve.open_index(spark, d, cache=False).topk(
+        queries, k=10, path="segment"
+    ).select("query_id", "doc_id")
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 _SQL_BM25_AND_TOPK_TEMPLATE = """
   qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
   scores AS (
@@ -1412,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_topk": _q_bm25_index_topk,
         "bm25_point_topk": _q_bm25_point_topk,
         "bm25_and_topk": _q_bm25_and_topk,
+        "bm25_append_topk": _q_bm25_append_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1492,6 +1545,9 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_index_topk": _SQL_BM25_TOPK,
         "bm25_point_topk": _SQL_BM25_TOPK,
         "bm25_and_topk": _SQL_BM25_AND_TOPK,
+        # append == full build exactly, so the oracle is the plain
+        # whole-corpus BM25 SQL — that IS the claim under test
+        "bm25_append_topk": _SQL_BM25_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

@@ -6,9 +6,16 @@ public serve surface (``retrieve``):
 * ``open_index(spark, index_dir)`` → :class:`IndexHandle` — the load-once
   query-server path (meta + idf-annotated segments + routing state loaded
   once, ``.topk()`` per batch);
-* ``topk(spark, index_dir, queries)`` — one-shot convenience.
+* ``topk(spark, index_dir, queries)`` — one-shot convenience;
+* ``append_to_index(spark, index_dir, pages)`` — exact append-only
+  ingestion for ``weight_scheme='raw'`` indexes (blocks store (tf, dl);
+  corpus scalars and idf applied at read time, so committed blocks never
+  go stale — append.py).
 """
 
+from similaripy_spark.fulltext.append import (  # noqa: F401
+    append_to_index,
+)
 from similaripy_spark.fulltext.retrieve import (  # noqa: F401
     IndexHandle,
     open_index,

@@ -102,7 +102,7 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
-def _encode_partition_arrow(batches, block_size: int):
+def _encode_partition_arrow(batches, block_size: int, bounds_fn=None):
     """Arrow-native encoder: one partition = whole (shard, term) groups,
     sorted by (shard, term, doc_id); groups may span record batches → carry
     the tail group. Numeric columns come out of Arrow zero-copy and term
@@ -115,7 +115,7 @@ def _encode_partition_arrow(batches, block_size: int):
     import pyarrow.compute as pc
 
     carry: dict | None = None  # columns of the held-back tail group
-    encode_cols = _encode_sorted_cols_factory(block_size)
+    encode_cols = _encode_sorted_cols_factory(block_size, bounds_fn)
 
     def cols_of(b):
         idx = {name: b.schema.get_field_index(name)
@@ -176,7 +176,8 @@ def _encode_partition_arrow(batches, block_size: int):
                           carry["tf"], carry["w32"])
 
 
-def _encode_partition_arrow_unsorted(batches, block_size: int):
+def _encode_partition_arrow_unsorted(batches, block_size: int,
+                                     bounds_fn=None):
     """Arrow encoder over UNSORTED partitions: buffer the partition,
     dictionary-encode terms, one ``np.lexsort`` by (shard, term-code,
     doc_id), then the same block encoder as the sorted path.
@@ -237,16 +238,22 @@ def _encode_partition_arrow_unsorted(batches, block_size: int):
             break
         cuts.append(nxt)
     cuts.append(n)
-    enc = _encode_sorted_cols_factory(block_size)
+    enc = _encode_sorted_cols_factory(block_size, bounds_fn)
     for s, e in zip(cuts[:-1], cuts[1:]):
         if e > s:
             yield enc(shard[s:e], term.slice(s, e - s), doc[s:e],
                       tf[s:e], w32[s:e])
 
 
-def _encode_sorted_cols_factory(block_size: int):
+def _encode_sorted_cols_factory(block_size: int, bounds_fn=None):
     """The (shard,term)-grouped column → block-rows encoder, shared by the
-    streaming (pre-sorted) and lexsort encoders."""
+    streaming (pre-sorted) and lexsort encoders.
+
+    ``bounds_fn(tfs, w32) -> float32 scores``: when given, per-block
+    max_score/min_score bounds are computed over ITS output instead of the
+    stored w32 payload — the 'raw' weight scheme stores dl in the weights
+    column but needs bounds over the derived tf-part (weights.tf_part_np
+    at the index's pinned bounds_avgdl)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -267,8 +274,9 @@ def _encode_sorted_cols_factory(block_size: int):
         block_ends = np.append(block_starts[1:], n)
         block_n = block_ends - block_starts
         block_id = (pos_in_group[block_starts] // block_size).astype(np.int32)
-        max_score = np.maximum.reduceat(w32, block_starts)
-        min_score = np.minimum.reduceat(w32, block_starts)
+        bscore = w32 if bounds_fn is None else bounds_fn(tfs, w32)
+        max_score = np.maximum.reduceat(bscore, block_starts)
+        min_score = np.minimum.reduceat(bscore, block_starts)
         deltas = np.empty(n, dtype=np.int64)
         deltas[0] = 0
         np.subtract(docs[1:], docs[:-1], out=deltas[1:])
@@ -304,7 +312,7 @@ def _encode_sorted_cols_factory(block_size: int):
 
 
 def _encode_partition(
-    batches: Iterator[pd.DataFrame], block_size: int
+    batches: Iterator[pd.DataFrame], block_size: int, bounds_fn=None
 ) -> Iterator[pd.DataFrame]:
     """One partition = whole shards, sorted by (shard, term, doc_id).
     Groups may span Arrow batches → carry the tail group over.
@@ -337,8 +345,9 @@ def _encode_partition(
         block_id = (pos_in_group[block_starts] // block_size).astype(np.int32)
         first_doc = docs[block_starts]
         max_doc = docs[block_ends - 1]
-        max_score = np.maximum.reduceat(w32, block_starts)
-        min_score = np.minimum.reduceat(w32, block_starts)
+        bscore = w32 if bounds_fn is None else bounds_fn(tfs, w32)
+        max_score = np.maximum.reduceat(bscore, block_starts)
+        min_score = np.minimum.reduceat(bscore, block_starts)
         # deltas with reset-to-0 at every block start
         deltas = np.empty(n, dtype=np.int64)
         deltas[0] = 0
@@ -420,9 +429,9 @@ class IndexBuilder:
                 f"input_layout must be 'shuffle' or 'aligned', got "
                 f"{input_layout!r}"
             )
-        if weight_scheme not in ("factored", "prod"):
+        if weight_scheme not in ("factored", "prod", "raw"):
             raise ValueError(
-                f"weight_scheme must be 'factored' or 'prod', got "
+                f"weight_scheme must be 'factored', 'prod' or 'raw', got "
                 f"{weight_scheme!r}"
             )
         #: all artifact publishes go through the commit protocol — the
@@ -467,8 +476,22 @@ class IndexBuilder:
         #: memory anywhere — web-scale-safe on BOTH layouts. 'prod' stores
         #: idf×tf products in the blocks (round-3 format; query-time idf
         #: not needed, but the build pays a vocabulary-sized stats join and
-        #: aligned mode must broadcast it).
+        #: aligned mode must broadcast it). 'raw' stores dl itself in the
+        #: weights column (tf already rides in every block): the doc-local
+        #: tf-part is derived IN the query kernel from (tf, dl) and the
+        #: CURRENT corpus avgdl, which makes append-only ingestion exact —
+        #: appending documents shifts avgdl/idf, and a raw index re-reads
+        #: both at query time with zero rewrite of committed blocks
+        #: (append.py). Block score bounds are encoded at the pinned
+        #: meta bounds_avgdl and ratio-scaled at read time, so MaxScore/
+        #: BMW pruning stays exact under any corpus drift.
         self.weight_scheme = weight_scheme
+        #: first group id this builder commits (append epochs build their
+        #: delta groups at base = existing n_groups_total; plain builds: 0)
+        self.group_base = 0
+        #: avgdl the block score bounds are encoded at — pinned at first
+        #: build, reused verbatim by every append epoch
+        self._bounds_avgdl: float | None = None
         #: per-phase build wall (ms), reset per build_from_postings run
         self._phase_ms: dict[str, int] = {}
 
@@ -574,8 +597,9 @@ class IndexBuilder:
 
         # persist only when the plan reads the postings more than once:
         # stats-from-postings (no pages), or the 'prod' scheme's term-df
-        # aggregate + join (two consumers in one job)
-        reuse = pages is None or self.weight_scheme != "factored"
+        # aggregate + join (two consumers in one job); 'factored' and 'raw'
+        # have exactly one consumer (the segment job)
+        reuse = pages is None or self.weight_scheme == "prod"
         if reuse:
             postings = postings.persist()
         try:
@@ -589,10 +613,26 @@ class IndexBuilder:
             t_ph = self._record_phase("doc_stats", t_ph)
             n_shards = int(meta["n_shards"])
 
+            if self._bounds_avgdl is None:
+                self._bounds_avgdl = float(
+                    meta.get("bounds_avgdl", meta["avgdl"])
+                )
+
             done = self.committed_groups() if resume else set()
-            pending = [g for g in range(self.n_groups) if g not in done]
+            base = self.group_base
+            pending = [
+                g for g in range(base, base + self.n_groups) if g not in done
+            ]
             if pending:
-                if self.weight_scheme == "factored":
+                if self.weight_scheme == "raw":
+                    # dl IS the stored weight — no weighting expression at
+                    # all (tf-part derived in the query kernel); the segment
+                    # job's only wide exchange is the doc→shard repartition
+                    weighted = postings.select(
+                        "doc_id", "term", "tf", "dl",
+                        F.col("dl").cast("double").alias("weight"),
+                    )
+                elif self.weight_scheme == "factored":
                     # doc-local factor only — no term-stats aggregate, no
                     # join: the weighting stage is map-side on BOTH
                     # layouts, and the aligned path keeps its narrow
@@ -714,11 +754,19 @@ class IndexBuilder:
         self.commit.commit_dir(ds_tmp, ds_path)
         m = obs.get
         N = int(n_docs) if n_docs is not None else int(m["n_seen"] or 0)
+        avgdl = float(m["sum_dl"] or 0.0) / max(N, 1)
         meta = {
             "version": 1,
             "run_id": run_id,
             "n_docs": N,
-            "avgdl": float(m["sum_dl"] or 0.0) / max(N, 1),
+            "avgdl": avgdl,
+            # corpus total dl: append epochs merge avgdl exactly as
+            # (sum_dl + sum_dl_delta) / (N + N_delta) instead of the lossy
+            # avgdl*N reconstruction
+            "sum_dl": float(m["sum_dl"] or 0.0),
+            # the avgdl block score bounds are encoded at (pinned forever;
+            # readers ratio-scale bounds to the current avgdl — raw scheme)
+            "bounds_avgdl": avgdl,
             "n_shards": int(m["max_shard"] or 0) + 1,
             "shard_size": self.shard_size,
             "block_size": self.block_size,
@@ -768,12 +816,27 @@ class IndexBuilder:
         # fat shards; also the parity twins).
         needs_sort = self.encoder in ("pandas", "arrow_stream")
 
+        # 'raw' scheme: blocks store dl in the weights column; the block
+        # score bounds are computed over the derived tf-part at the index's
+        # pinned bounds_avgdl (meta.json) — valid for any later corpus
+        # avgdl via the query-side ratio scaling (wand._ShardIndex)
+        bfn = None
+        if self.weight_scheme == "raw":
+            import functools
+
+            from similaripy_spark.fulltext.weights import tf_part_np
+
+            bfn = functools.partial(
+                tf_part_np, k1=self.k1, b=self.b,
+                avgdl=float(self._bounds_avgdl),
+            )
+
         def encode(df):
             if needs_sort:
                 df = df.sortWithinPartitions("shard", "term", "doc_id")
             if self.encoder == "pandas":
                 return df.mapInPandas(
-                    lambda it, bs=bs: _encode_partition(it, bs),
+                    lambda it, bs=bs, bf=bfn: _encode_partition(it, bs, bf),
                     schema=SEGMENT_SCHEMA,
                 )
             kernel = (
@@ -782,7 +845,7 @@ class IndexBuilder:
                 else _encode_partition_arrow_unsorted
             )
             return df.mapInArrow(
-                lambda it, bs=bs, k=kernel: k(it, bs),
+                lambda it, bs=bs, k=kernel, bf=bfn: k(it, bs, bf),
                 schema=SEGMENT_SCHEMA,
             )
 
@@ -871,19 +934,21 @@ class IndexBuilder:
         Lineage wall_ms is the batch wall amortized over the groups it
         produced (they shared one job)."""
         t0 = time.monotonic()
+        base = self.group_base
+        group_expr = (F.col("shard") % self.n_groups + F.lit(base)).cast(
+            "int"
+        )
         part = (
             weighted
             if len(pending) == self.n_groups
-            else weighted.filter(
-                (F.col("shard") % self.n_groups).isin(pending)
-            )
+            else weighted.filter(group_expr.isin(pending))
         )
         shards_pending = max(
             1,
             -(-n_shards * len(pending) // self.n_groups),
         )
         seg = self._segment_plan(part, shards_pending).withColumn(
-            "group", (F.col("shard") % self.n_groups).cast("int")
+            "group", group_expr
         )
         stage_parent = self.commit.stage_path(
             os.path.join(self.index_dir, "segments_batch")
@@ -930,7 +995,9 @@ class IndexBuilder:
     ) -> None:
         """One commit unit as its own job (crash-injection test path)."""
         t0 = time.monotonic()
-        part = weighted.filter(F.col("shard") % self.n_groups == g)
+        part = weighted.filter(
+            F.col("shard") % self.n_groups + F.lit(self.group_base) == g
+        )
         shards_in_group = max(-(-n_shards // self.n_groups), 1)
         seg = self._segment_plan(part, shards_in_group)
         gdir = os.path.join(self.index_dir, "segments", f"group={g}")

@@ -120,7 +120,7 @@ class IndexHandle:
         self.shard_ids = list(range(int(self.meta["n_shards"])))
         self._weight_scheme = self.meta.get("weight_scheme", "prod")
         if annotate_segments is None:
-            annotate_segments = self._weight_scheme == "factored"
+            annotate_segments = self._weight_scheme in ("factored", "raw")
         segments = read_segments(spark, index_dir)
         if annotate_segments:
             segments = segments_with_idf(segments, index_dir)

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from similaripy_spark.fulltext import codec
+from similaripy_spark.fulltext.weights import tf_part_np
 from similaripy_spark.operators.topk import top_k
 
 _RESULT_SCHEMA = T.StructType(
@@ -73,10 +74,41 @@ class _ShardIndex:
     reference semantics, df > N/2) flips each bound to the opposite
     extreme: effective max = idf × stored_min, effective min = idf ×
     stored_max. All three scorers then run unchanged and stay exact.
+
+    ``raw``: params dict for RAW indexes (meta.json weight_scheme='raw' —
+    blocks store dl in the weights column and tf in every block): decode
+    derives the tf-part from (tf, dl) at the CURRENT corpus ``avgdl`` —
+    this is what makes append-only ingestion exact, committed blocks never
+    go stale. Stored block bounds were encoded at the pinned
+    ``bounds_avgdl``; the tf-part is monotone increasing in avgdl and its
+    drift is bounded by the avgdl ratio r (worst case tf + k1*(1-b) → 0),
+    so scaling stored maxima by max(1, r) and minima by min(1, r) keeps
+    every bound valid — pruning stays exact, merely a little looser until
+    a reweight re-pins the bounds. ``raw`` requires ``idf`` (the factored
+    idf plumbing is shared). Keys: k1, b, avgdl, bounds_avgdl,
+    delta (optional).
     """
 
-    def __init__(self, seg: pd.DataFrame, idf: dict | None = None):
+    def __init__(self, seg: pd.DataFrame, idf: dict | None = None,
+                 raw: dict | None = None):
         self._idf = idf
+        self._raw = raw
+        self._bs_up = self._bs_dn = 1.0
+        if raw is not None:
+            if idf is None:
+                raise ValueError(
+                    "raw-scheme scoring requires the per-term idf map"
+                )
+            r = float(raw["avgdl"]) / float(raw["bounds_avgdl"])
+            self._bs_up, self._bs_dn = max(1.0, r), min(1.0, r)
+            if r != 1.0:
+                # stored bounds and kernel scores each round through
+                # float32 at DIFFERENT avgdls, so a decoded score can
+                # exceed the exact-math-scaled bound by an ULP; widen by
+                # 1e-6 relative (≈8 f32 ULPs) — bounds stay valid, just
+                # marginally looser (values are positive tf-parts)
+                self._bs_up *= 1.0 + 1e-6
+                self._bs_dn *= 1.0 - 1e-6
         codes, uniques = pd.factorize(seg["term"], sort=False)
         order = np.lexsort(
             (seg["block_id"].to_numpy(), seg["shard"].to_numpy(), codes)
@@ -94,6 +126,10 @@ class _ShardIndex:
         self._mins = seg["min_score"].to_numpy(np.float32)[order]
         self._dd = seg["doc_deltas"].to_numpy(dtype=object)[order]
         self._ww = seg["weights"].to_numpy(dtype=object)[order]
+        self._tt = (
+            seg["tfs"].to_numpy(dtype=object)[order]
+            if raw is not None else None
+        )
         self._groups = self._slice  # membership checks elsewhere
         self._cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -108,27 +144,31 @@ class _ShardIndex:
         if se is None:
             return None
         s, e = se
+        # raw scheme: stored bounds were encoded at bounds_avgdl — the
+        # one-sided ratio scaling keeps them valid at the current avgdl
+        maxs = self._maxs[s:e].astype(np.float64) * self._bs_up
+        mins = self._mins[s:e].astype(np.float64) * self._bs_dn
         if self._idf is None:
             return (
-                float(self._maxs[s:e].max()),
-                float(self._mins[s:e].min()),
+                float(maxs.max()),
+                float(mins.min()),
                 self._first[s:e],
                 self._maxd[s:e],
-                self._maxs[s:e],
+                maxs,
             )
         i = float(self._idf.get(term, 0.0))
         # bounds stay float64: a float32 round-down of an upper bound could
         # make block skipping inexact
         if i >= 0.0:
-            tmax = i * float(self._maxs[s:e].max())
-            tmin = i * float(self._mins[s:e].min())
-            bmaxs = i * self._maxs[s:e].astype(np.float64)
+            tmax = i * float(maxs.max())
+            tmin = i * float(mins.min())
+            bmaxs = i * maxs
         else:
             # stored bounds are positive tf-parts: a negative multiplier
             # maps stored min → effective max and vice versa
-            tmax = i * float(self._mins[s:e].min())
-            tmin = i * float(self._maxs[s:e].max())
-            bmaxs = i * self._mins[s:e].astype(np.float64)
+            tmax = i * float(mins.min())
+            tmin = i * float(maxs.max())
+            bmaxs = i * mins
         return (tmax, tmin, self._first[s:e], self._maxd[s:e], bmaxs)
 
     def _decode_rows(self, rows: np.ndarray):
@@ -144,6 +184,19 @@ class _ShardIndex:
         weights = np.frombuffer(
             b"".join(self._ww[r] for r in rows), dtype=np.float32
         ).astype(np.float64)
+        if self._raw is not None:
+            # stored weights are dl; derive the tf-part at the CURRENT
+            # avgdl (float32-rounded — bit-identical to what a factored
+            # build at this avgdl would have stored)
+            tfs = codec.decode_varints(
+                b"".join(self._tt[r] for r in rows), int(ns.sum())
+            )
+            weights = tf_part_np(
+                tfs, weights,
+                k1=float(self._raw["k1"]), b=float(self._raw["b"]),
+                avgdl=float(self._raw["avgdl"]),
+                delta=float(self._raw.get("delta", 0.0)),
+            ).astype(np.float64)
         return docs, weights
 
     def decode_blocks(self, term, block_mask: np.ndarray | None = None):
@@ -544,9 +597,25 @@ def _idf_map_from_pdf(terms_col, idfs_col) -> dict:
 
 
 def _index_is_factored(index_dir: str) -> bool:
+    """True for either query-time-idf scheme ('factored' or 'raw')."""
     from similaripy_spark.fulltext.index_build import read_meta
 
-    return read_meta(index_dir).get("weight_scheme", "prod") == "factored"
+    return read_meta(index_dir).get("weight_scheme", "prod") in (
+        "factored", "raw",
+    )
+
+
+def _raw_params_from_meta(meta: dict) -> dict:
+    """Kernel params for 'raw' indexes: the current corpus avgdl (applied
+    to every decode) and the pinned bounds_avgdl the block bounds were
+    encoded at (legacy metas without the field never drifted — they were
+    written before append existed, so avgdl is the encode-time value)."""
+    return {
+        "k1": float(meta.get("k1", 1.2)),
+        "b": float(meta.get("b", 0.75)),
+        "avgdl": float(meta["avgdl"]),
+        "bounds_avgdl": float(meta.get("bounds_avgdl", meta["avgdl"])),
+    }
 
 
 def _index_idf_table(spark, index_dir: str) -> DataFrame:
@@ -856,7 +925,19 @@ def segment_topk(
         meta = read_meta(index_dir)
     if weight_scheme is None:
         weight_scheme = (meta or {}).get("weight_scheme", "prod")
-    factored = weight_scheme == "factored"
+    # 'factored' and 'raw' indexes both apply the term-global idf at query
+    # time; 'raw' additionally derives the doc-local tf-part in the kernel
+    # from the stored (tf, dl) and the CURRENT corpus avgdl (exact under
+    # append-only ingestion — see append.py)
+    factored = weight_scheme in ("factored", "raw")
+    raw_params = None
+    if weight_scheme == "raw":
+        if meta is None:
+            raise ValueError(
+                "weight_scheme='raw' scoring needs index_dir (for "
+                "term_stats and the corpus scalars)"
+            )
+        raw_params = _raw_params_from_meta(meta)
     # segments pre-annotated with idf (segments_with_idf — the serve path)
     # need no per-batch query-side annotation: the kernel reads the idf
     # straight off the shard's own rows
@@ -864,8 +945,8 @@ def segment_topk(
     if factored and not seg_has_idf:
         if meta is None:
             raise ValueError(
-                "weight_scheme='factored' scoring needs index_dir (for "
-                "term_stats and n_docs)"
+                f"weight_scheme={weight_scheme!r} scoring needs index_dir "
+                "(for term_stats and n_docs)"
             )
         from similaripy_spark.fulltext.index_build import read_term_stats
         from similaripy_spark.fulltext.weights import idf_table
@@ -913,7 +994,7 @@ def segment_topk(
                 ))
             else:
                 idf = _idf_map_from_pdf(q_pdf["terms"], q_pdf["idfs"])
-            idx = _ShardIndex(seg_pdf, idf=idf)
+            idx = _ShardIndex(seg_pdf, idf=idf, raw=raw_params)
             if batch:
                 return _score_batch(
                     idx, q_pdf, k_emit, query_weighted=query_weighted,
@@ -1085,7 +1166,13 @@ def term_major_topk(
         if mode == "and" else None
     )
     factored = _index_is_factored(index_dir)
+    raw_params = None
     if factored:
+        from similaripy_spark.fulltext.index_build import read_meta
+
+        meta = read_meta(index_dir)
+        if meta.get("weight_scheme") == "raw":
+            raw_params = _raw_params_from_meta(meta)
         qterms = qterms.join(_index_idf_table(spark, index_dir), "term",
                              "left")
     dterms = qterms.select("term").distinct()
@@ -1111,7 +1198,7 @@ def term_major_topk(
                     else float(v))
                 for t, v in zip(pdf["term"], pdf["idf"])
             }
-        idx = _ShardIndex(seg, idf=idf)
+        idx = _ShardIndex(seg, idf=idf, raw=raw_params)
         uterms = list(dict.fromkeys(pdf["term"]))
         if "nreq" in pdf.columns:
             if len(uterms) < int(pdf["nreq"].iloc[0]):
@@ -1211,13 +1298,20 @@ def bucket_topk(
         .distinct()
         .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
     )
+    raw_params = None
     if _index_is_factored(index_dir):
+        from similaripy_spark.fulltext.index_build import read_meta
+
+        meta = read_meta(index_dir)
+        if meta.get("weight_scheme") == "raw":
+            raw_params = _raw_params_from_meta(meta)
         qterms = qterms.join(
             _index_idf_table(spark, index_dir), "term", "left"
         )
     if prune:
         return _bucket_topk_pruned(
-            spark, index_dir, merged, qterms, k, n_buckets
+            spark, index_dir, merged, qterms, k, n_buckets,
+            raw_params=raw_params,
         )
     blocks = merged.withColumn(
         "bucket", F.crc32(F.col("term")) % n_buckets
@@ -1226,7 +1320,7 @@ def bucket_topk(
     partials = (
         qterms.groupby("bucket")
         .cogroup(blocks.groupby("bucket"))
-        .applyInPandas(_score_bucket, schema=_RESULT_SCHEMA)
+        .applyInPandas(_bucket_scorer(raw_params), schema=_RESULT_SCHEMA)
     )
     totals = partials.groupBy("query_id", "doc_id").agg(
         F.sum("score").alias("score")
@@ -1243,7 +1337,26 @@ def bucket_topk(
 _BUCKET_BINS = 1 << 24
 
 
-def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+def _bucket_scorer(raw: dict | None):
+    """Two-positional-arg cogroup wrappers (pyspark counts the function's
+    positional parameters to decide whether to pass the group key — a
+    default-arg lambda would be handed (key, left, right))."""
+
+    def score(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_bucket(q_pdf, seg_pdf, raw=raw)
+
+    return score
+
+
+def _bucket_prober(raw: dict | None):
+    def probe(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _probe_bucket(p_pdf, seg_pdf, raw=raw)
+
+    return probe
+
+
+def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame,
+                  raw: dict | None = None) -> pd.DataFrame:
     """Exhaustive bucket scorer: decode the bucket's query terms ONCE,
     factorize the bucket's docIDs into a dense local space, then
     scatter-add every (query, term) pair's posting weights with chunked
@@ -1262,7 +1375,7 @@ def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
                 else float(v))
             for t, v in zip(q_pdf["term"], q_pdf["idf"])
         }
-    idx = _ShardIndex(seg_pdf, idf=idf)
+    idx = _ShardIndex(seg_pdf, idf=idf, raw=raw)
     uterms = list(dict.fromkeys(q_pdf["term"]))
     docs, weights, spans = idx.decode_terms(uterms)
     if len(docs) == 0:
@@ -1329,7 +1442,8 @@ def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
-def _probe_bucket(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+def _probe_bucket(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame,
+                  raw: dict | None = None) -> pd.DataFrame:
     """Refine phase: for given (query_id, doc_id, term) probe rows, return
     the exact weight contribution of ``term`` to ``doc_id`` where present.
     Decodes ONLY blocks whose [first_doc, max_doc] range overlaps a probed
@@ -1343,7 +1457,7 @@ def _probe_bucket(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
                 else float(v))
             for t, v in zip(p_pdf["term"], p_pdf["idf"])
         }
-    idx = _ShardIndex(seg_pdf, idf=idf)
+    idx = _ShardIndex(seg_pdf, idf=idf, raw=raw)
     out = []
     for t, grp in p_pdf.groupby("term"):
         meta = idx.term_meta(t)
@@ -1392,6 +1506,28 @@ def essential_split(spark, index_dir: str, qterms: DataFrame, k: int):
     factored = _index_is_factored(index_dir)
     qterms = qterms.drop("idf")  # derived fresh below; avoids a dup column
     if factored:
+        from similaripy_spark.fulltext.index_build import read_meta
+
+        meta = read_meta(index_dir)
+        if meta.get("weight_scheme") == "raw":
+            # raw bounds were encoded at the pinned bounds_avgdl; the
+            # one-sided avgdl-ratio scaling keeps them valid (and
+            # conservative) at the current corpus avgdl — stays double
+            # so an upper bound is never rounded down
+            rp = _raw_params_from_meta(meta)
+            r = rp["avgdl"] / rp["bounds_avgdl"]
+            up, dn = max(1.0, r), min(1.0, r)
+            if r != 1.0:
+                # same float32 cross-rounding widening as _ShardIndex
+                up *= 1.0 + 1e-6
+                dn *= 1.0 - 1e-6
+            ts = ts.select(
+                "term", "df",
+                (F.col("max_weight").cast("double") * up)
+                .alias("max_weight"),
+                (F.col("min_weight").cast("double") * dn)
+                .alias("min_weight"),
+            )
         # stored bounds are positive tf-parts; idf-adjust them here so the
         # pruning algebra below is scheme-oblivious (negative idf swaps the
         # extremes, exactly as _ShardIndex.term_meta does per shard)
@@ -1442,7 +1578,7 @@ def essential_split(spark, index_dir: str, qterms: DataFrame, k: int):
 
 def _bucket_topk_pruned(
     spark, index_dir: str, merged: DataFrame, qterms: DataFrame, k: int,
-    n_buckets: int,
+    n_buckets: int, raw_params: dict | None = None,
 ) -> DataFrame:
     """Bound-then-refine (docstring in bucket_topk). All bounds come from
     term_stats (block-metadata-derived, index_build._write_term_stats) and
@@ -1474,7 +1610,7 @@ def _bucket_topk_pruned(
     partials = (
         ess.groupby("bucket")
         .cogroup(ess_blocks.groupby("bucket"))
-        .applyInPandas(_score_bucket, schema=_RESULT_SCHEMA)
+        .applyInPandas(_bucket_scorer(raw_params), schema=_RESULT_SCHEMA)
         .groupBy("query_id", "doc_id")
         .agg(F.sum("score").alias("p"))
     )
@@ -1506,7 +1642,7 @@ def _bucket_topk_pruned(
     probe_partials = (
         probe_in.groupby("bucket")
         .cogroup(ne_blocks.groupby("bucket"))
-        .applyInPandas(_probe_bucket, schema=_RESULT_SCHEMA)
+        .applyInPandas(_bucket_prober(raw_params), schema=_RESULT_SCHEMA)
     )
 
     # phase 4: exact totals for candidates + deterministic top-k

@@ -135,3 +135,34 @@ def idf_table(
             logbase,
         ).alias("idf"),
     )
+
+
+def tf_part_np(
+    tf: "np.ndarray",
+    dl: "np.ndarray",
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: float = None,
+    delta: float = 0.0,
+) -> "np.ndarray":
+    """NumPy twin of ``bm25_tf_part``'s weight expression (raw tf mode):
+
+        tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl)) + delta
+
+    Shared by the 'raw' weight scheme's two consumers: the block encoder
+    (per-block score BOUNDS, computed at the index's pinned
+    ``bounds_avgdl``) and the query kernels (exact scores at the CURRENT
+    ``avgdl`` — which is what makes append-without-rewrite exact: blocks
+    store (tf, dl) and the corpus scalar is applied at read time). The
+    result is rounded through float32 so a raw index scores bit-identically
+    to a factored index built at the same avgdl (which stores this value
+    as float32)."""
+    import numpy as np
+
+    if avgdl is None:
+        raise ValueError("tf_part_np requires the avgdl corpus scalar")
+    tf = tf.astype(np.float64, copy=False)
+    dl = dl.astype(np.float64, copy=False)
+    norm_dl = (1.0 - b) + b * dl / float(avgdl)
+    out = tf * (k1 + 1.0) / (tf + k1 * norm_dl) + delta
+    return out.astype(np.float32)
