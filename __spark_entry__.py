@@ -412,6 +412,51 @@ def _q_bm25_append_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_delete_topk(spark, sf_dir):
+    """BM25 top-10 under DOCUMENT DELETION (fulltext/delete.py — round 5):
+    build the factored index, tombstone every doc_id % 10 == 3, query
+    through the public handle. Tombstones filter AT DECODE TIME inside the
+    kernels (deleted docs can never crowd a local top-k or inflate the
+    MaxScore θ) while corpus stats stay pre-deletion until compact_index —
+    the Lucene live-docs model, which is exactly SQL-expressible: the
+    oracle computes weights over the FULL corpus and filters deleted docs
+    from the result side only. The reference has no deletion concept
+    (rebuild-per-call CSR); extension surface. Selected pairs re-scored
+    with exact float64 relational weights as in bm25_index_topk."""
+    import tempfile
+
+    from similaripy_spark.fulltext.delete import delete_docs
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_delete_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    delete_docs(
+        spark, d, docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    )
+    picked = retrieve.open_index(spark, d, cache=False).topk(
+        queries, k=10, path="segment"
+    ).select("query_id", "doc_id")
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 _SQL_BM25_AND_TOPK_TEMPLATE = """
   qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
   scores AS (
@@ -457,6 +502,22 @@ WITH {_SQL_POSTINGS},
     FROM scores)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
 """
+
+
+# deletion semantics: weights/stats over the FULL corpus (pre-deletion idf,
+# N, avgdl — compaction refreshes them), deleted docs filtered from the
+# RESULT side only, ranks over the survivors
+_SQL_BM25_DELETE_TOPK = _SQL_BM25_TOPK.replace(
+    """  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores)""",
+    """  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores WHERE doc_id % 10 <> 3)""",
+)
+assert "doc_id % 10 <> 3" in _SQL_BM25_DELETE_TOPK
 
 
 _SQL_BM25_AND_TOPK = f"""
@@ -1465,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_point_topk": _q_bm25_point_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_append_topk": _q_bm25_append_topk,
+        "bm25_delete_topk": _q_bm25_delete_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1548,6 +1610,8 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         # append == full build exactly, so the oracle is the plain
         # whole-corpus BM25 SQL — that IS the claim under test
         "bm25_append_topk": _SQL_BM25_TOPK,
+        # deletion: full-corpus weights, survivors-only ranking
+        "bm25_delete_topk": _SQL_BM25_DELETE_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

@@ -10,11 +10,19 @@ public serve surface (``retrieve``):
 * ``append_to_index(spark, index_dir, pages)`` — exact append-only
   ingestion for ``weight_scheme='raw'`` indexes (blocks store (tf, dl);
   corpus scalars and idf applied at read time, so committed blocks never
-  go stale — append.py).
+  go stale — append.py);
+* ``delete_docs(spark, index_dir, doc_ids)`` / ``compact_index`` —
+  tombstone deletion with exact surviving top-k on every query path
+  (kernel-level decode filtering) and a compaction rewrite that refreshes
+  corpus stats (delete.py).
 """
 
 from similaripy_spark.fulltext.append import (  # noqa: F401
     append_to_index,
+)
+from similaripy_spark.fulltext.delete import (  # noqa: F401
+    compact_index,
+    delete_docs,
 )
 from similaripy_spark.fulltext.retrieve import (  # noqa: F401
     IndexHandle,

@@ -87,12 +87,21 @@ class _ShardIndex:
     a reweight re-pins the bounds. ``raw`` requires ``idf`` (the factored
     idf plumbing is shared). Keys: k1, b, avgdl, bounds_avgdl,
     delta (optional).
+
+    ``tomb``: SORTED int64 array of tombstoned doc_ids (delete.py).
+    Deleted docs are dropped AT DECODE TIME — the single choke point every
+    scorer reads through — so they can never enter a candidate set, inflate
+    the MaxScore/BMW θ, crowd a local top-k, or match an AND intersection.
+    Stored block/term bounds still include deleted docs' scores: they
+    remain valid (superset) upper bounds for the survivors, so pruning
+    stays exact, merely a little looser until delete.compact_index.
     """
 
     def __init__(self, seg: pd.DataFrame, idf: dict | None = None,
-                 raw: dict | None = None):
+                 raw: dict | None = None, tomb=None):
         self._idf = idf
         self._raw = raw
+        self._tomb = tomb if tomb is not None and len(tomb) else None
         self._bs_up = self._bs_dn = 1.0
         if raw is not None:
             if idf is None:
@@ -199,6 +208,16 @@ class _ShardIndex:
             ).astype(np.float64)
         return docs, weights
 
+    def _live_mask(self, docs: np.ndarray) -> "np.ndarray | None":
+        """Boolean keep-mask against the sorted tombstone set, or None when
+        nothing in ``docs`` is deleted (the common case — skip the copy)."""
+        if self._tomb is None or len(docs) == 0:
+            return None
+        pos = np.searchsorted(self._tomb, docs)
+        pos[pos == len(self._tomb)] = 0
+        keep = self._tomb[pos] != docs
+        return None if keep.all() else keep
+
     def decode_blocks(self, term, block_mask: np.ndarray | None = None):
         """→ (docs int64 asc, weights float64) for selected blocks; weights
         are idf-scaled on factored indexes. Full-term decodes are
@@ -214,6 +233,9 @@ class _ShardIndex:
         docs, weights = self._decode_rows(rows)
         if self._idf is not None:
             weights = weights * float(self._idf.get(term, 0.0))
+        keep = self._live_mask(docs)
+        if keep is not None:
+            docs, weights = docs[keep], weights[keep]
         out = (docs, weights)
         if block_mask is None:
             self._cache[term] = out
@@ -241,6 +263,17 @@ class _ShardIndex:
         if self._idf is not None:
             for t, (p0, p1) in spans.items():
                 weights[p0:p1] *= float(self._idf.get(t, 0.0))
+        keep = self._live_mask(docs)
+        if keep is not None:
+            # remap every span through the prefix-sum of the keep mask so
+            # (start, end) still index the filtered arrays
+            cum = np.zeros(len(keep) + 1, np.int64)
+            np.cumsum(keep, out=cum[1:])
+            spans = {
+                t: (int(cum[p0]), int(cum[p1]))
+                for t, (p0, p1) in spans.items()
+            }
+            docs, weights = docs[keep], weights[keep]
         return docs, weights, spans
 
 
@@ -605,6 +638,17 @@ def _index_is_factored(index_dir: str) -> bool:
     )
 
 
+def _tomb_for(index_dir: str | None, meta: dict | None) -> "np.ndarray | None":
+    """Sorted tombstone doc_id array for kernel-side filtering, or None.
+    Driver-side pyarrow read, gated on the meta flag so untombstoned
+    indexes pay nothing."""
+    if index_dir is None or not (meta or {}).get("n_tombstone_epochs"):
+        return None
+    from similaripy_spark.fulltext.delete import tombstone_array
+
+    return tombstone_array(index_dir)
+
+
 def _raw_params_from_meta(meta: dict) -> dict:
     """Kernel params for 'raw' indexes: the current corpus avgdl (applied
     to every decode) and the pinned bounds_avgdl the block bounds were
@@ -938,6 +982,7 @@ def segment_topk(
                 "term_stats and the corpus scalars)"
             )
         raw_params = _raw_params_from_meta(meta)
+    tomb = _tomb_for(index_dir, meta)
     # segments pre-annotated with idf (segments_with_idf — the serve path)
     # need no per-batch query-side annotation: the kernel reads the idf
     # straight off the shard's own rows
@@ -994,7 +1039,7 @@ def segment_topk(
                 ))
             else:
                 idf = _idf_map_from_pdf(q_pdf["terms"], q_pdf["idfs"])
-            idx = _ShardIndex(seg_pdf, idf=idf, raw=raw_params)
+            idx = _ShardIndex(seg_pdf, idf=idf, raw=raw_params, tomb=tomb)
             if batch:
                 return _score_batch(
                     idx, q_pdf, k_emit, query_weighted=query_weighted,
@@ -1165,16 +1210,17 @@ def term_major_topk(
         .agg(F.countDistinct("term").alias("nreq"))
         if mode == "and" else None
     )
+    from similaripy_spark.fulltext.index_build import read_meta
+
+    meta = read_meta(index_dir)
     factored = _index_is_factored(index_dir)
     raw_params = None
     if factored:
-        from similaripy_spark.fulltext.index_build import read_meta
-
-        meta = read_meta(index_dir)
         if meta.get("weight_scheme") == "raw":
             raw_params = _raw_params_from_meta(meta)
         qterms = qterms.join(_index_idf_table(spark, index_dir), "term",
                              "left")
+    tomb = _tomb_for(index_dir, meta)
     dterms = qterms.select("term").distinct()
     term_rows = dterms.limit(max_pruned_terms + 1).collect()
     if len(term_rows) <= max_pruned_terms:
@@ -1198,7 +1244,7 @@ def term_major_topk(
                     else float(v))
                 for t, v in zip(pdf["term"], pdf["idf"])
             }
-        idx = _ShardIndex(seg, idf=idf, raw=raw_params)
+        idx = _ShardIndex(seg, idf=idf, raw=raw_params, tomb=tomb)
         uterms = list(dict.fromkeys(pdf["term"]))
         if "nreq" in pdf.columns:
             if len(uterms) < int(pdf["nreq"].iloc[0]):
@@ -1298,20 +1344,21 @@ def bucket_topk(
         .distinct()
         .withColumn("bucket", F.crc32(F.col("term")) % n_buckets)
     )
+    from similaripy_spark.fulltext.index_build import read_meta
+
+    meta = read_meta(index_dir)
     raw_params = None
     if _index_is_factored(index_dir):
-        from similaripy_spark.fulltext.index_build import read_meta
-
-        meta = read_meta(index_dir)
         if meta.get("weight_scheme") == "raw":
             raw_params = _raw_params_from_meta(meta)
         qterms = qterms.join(
             _index_idf_table(spark, index_dir), "term", "left"
         )
+    tomb = _tomb_for(index_dir, meta)
     if prune:
         return _bucket_topk_pruned(
             spark, index_dir, merged, qterms, k, n_buckets,
-            raw_params=raw_params,
+            raw_params=raw_params, tomb=tomb,
         )
     blocks = merged.withColumn(
         "bucket", F.crc32(F.col("term")) % n_buckets
@@ -1320,7 +1367,9 @@ def bucket_topk(
     partials = (
         qterms.groupby("bucket")
         .cogroup(blocks.groupby("bucket"))
-        .applyInPandas(_bucket_scorer(raw_params), schema=_RESULT_SCHEMA)
+        .applyInPandas(
+            _bucket_scorer(raw_params, tomb), schema=_RESULT_SCHEMA
+        )
     )
     totals = partials.groupBy("query_id", "doc_id").agg(
         F.sum("score").alias("score")
@@ -1337,26 +1386,26 @@ def bucket_topk(
 _BUCKET_BINS = 1 << 24
 
 
-def _bucket_scorer(raw: dict | None):
+def _bucket_scorer(raw: dict | None, tomb=None):
     """Two-positional-arg cogroup wrappers (pyspark counts the function's
     positional parameters to decide whether to pass the group key — a
     default-arg lambda would be handed (key, left, right))."""
 
     def score(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_bucket(q_pdf, seg_pdf, raw=raw)
+        return _score_bucket(q_pdf, seg_pdf, raw=raw, tomb=tomb)
 
     return score
 
 
-def _bucket_prober(raw: dict | None):
+def _bucket_prober(raw: dict | None, tomb=None):
     def probe(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _probe_bucket(p_pdf, seg_pdf, raw=raw)
+        return _probe_bucket(p_pdf, seg_pdf, raw=raw, tomb=tomb)
 
     return probe
 
 
 def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame,
-                  raw: dict | None = None) -> pd.DataFrame:
+                  raw: dict | None = None, tomb=None) -> pd.DataFrame:
     """Exhaustive bucket scorer: decode the bucket's query terms ONCE,
     factorize the bucket's docIDs into a dense local space, then
     scatter-add every (query, term) pair's posting weights with chunked
@@ -1375,7 +1424,7 @@ def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame,
                 else float(v))
             for t, v in zip(q_pdf["term"], q_pdf["idf"])
         }
-    idx = _ShardIndex(seg_pdf, idf=idf, raw=raw)
+    idx = _ShardIndex(seg_pdf, idf=idf, raw=raw, tomb=tomb)
     uterms = list(dict.fromkeys(q_pdf["term"]))
     docs, weights, spans = idx.decode_terms(uterms)
     if len(docs) == 0:
@@ -1443,7 +1492,7 @@ def _score_bucket(q_pdf: pd.DataFrame, seg_pdf: pd.DataFrame,
 
 
 def _probe_bucket(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame,
-                  raw: dict | None = None) -> pd.DataFrame:
+                  raw: dict | None = None, tomb=None) -> pd.DataFrame:
     """Refine phase: for given (query_id, doc_id, term) probe rows, return
     the exact weight contribution of ``term`` to ``doc_id`` where present.
     Decodes ONLY blocks whose [first_doc, max_doc] range overlaps a probed
@@ -1457,7 +1506,7 @@ def _probe_bucket(p_pdf: pd.DataFrame, seg_pdf: pd.DataFrame,
                 else float(v))
             for t, v in zip(p_pdf["term"], p_pdf["idf"])
         }
-    idx = _ShardIndex(seg_pdf, idf=idf, raw=raw)
+    idx = _ShardIndex(seg_pdf, idf=idf, raw=raw, tomb=tomb)
     out = []
     for t, grp in p_pdf.groupby("term"):
         meta = idx.term_meta(t)
@@ -1499,15 +1548,16 @@ def essential_split(spark, index_dir: str, qterms: DataFrame, k: int):
     and diagnostics — the pruning win is exactly the non-essential mass."""
     from pyspark.sql import Window
 
-    from similaripy_spark.fulltext.index_build import read_term_stats
+    from similaripy_spark.fulltext.index_build import (
+        read_meta,
+        read_term_stats,
+    )
 
     neg_inf = float("-inf")
     ts = read_term_stats(spark, index_dir)
     factored = _index_is_factored(index_dir)
     qterms = qterms.drop("idf")  # derived fresh below; avoids a dup column
     if factored:
-        from similaripy_spark.fulltext.index_build import read_meta
-
         meta = read_meta(index_dir)
         if meta.get("weight_scheme") == "raw":
             # raw bounds were encoded at the pinned bounds_avgdl; the
@@ -1552,11 +1602,20 @@ def essential_split(spark, index_dir: str, qterms: DataFrame, k: int):
         ub.alias("ub"), lb.alias("lb"),
         F.col("min_weight").cast("double").alias("minw"),
     )
-    # θ_q = max over t with df ≥ k of (minw_t - lb_t) + Σ_all lb
+    # tombstones: term_stats df counts deleted docs, so the "df ≥ k docs
+    # exist" guarantee must be discounted by the WHOLE tombstone count (at
+    # worst every deleted doc contained t) — θ stays a valid lower bound
+    # on the SURVIVING k-th score, just weaker until compact_index
+    n_tomb = 0
+    meta_es = read_meta(index_dir)
+    if meta_es.get("n_tombstone_epochs"):
+        t_arr = _tomb_for(index_dir, meta_es)
+        n_tomb = 0 if t_arr is None else len(t_arr)
+    # θ_q = max over t with df - n_tomb ≥ k of (minw_t - lb_t) + Σ_all lb
     per_q = qt.groupBy("query_id").agg(
         F.sum("lb").alias("sum_lb"),
         F.max(
-            F.when(F.col("df") >= k, F.col("minw") - F.col("lb"))
+            F.when(F.col("df") - n_tomb >= k, F.col("minw") - F.col("lb"))
         ).alias("theta_base"),
     ).select(
         "query_id",
@@ -1572,13 +1631,20 @@ def essential_split(spark, index_dir: str, qterms: DataFrame, k: int):
     )
     qt = qt.withColumn("suffix_ub", suffix).join(per_q, "query_id")
     # non-essential = maximal suffix with Σ ub < θ (STRICT — ties at the
-    # k-th score must never be pruned)
-    return qt.withColumn("essential", F.col("suffix_ub") >= F.col("theta"))
+    # k-th score must never be pruned). θ and suffix_ub come from separate
+    # aggregations over the same rows, and Spark may recompute each branch
+    # with a different float addition order — widen the boundary by a
+    # relative epsilon (the deep-paging tau pattern) so ULP noise between
+    # recomputations can never flip a tied term to non-essential.
+    theta_eps = F.col("theta") - (
+        F.abs(F.col("theta")) * 1e-9 + F.lit(1e-12)
+    )
+    return qt.withColumn("essential", F.col("suffix_ub") >= theta_eps)
 
 
 def _bucket_topk_pruned(
     spark, index_dir: str, merged: DataFrame, qterms: DataFrame, k: int,
-    n_buckets: int, raw_params: dict | None = None,
+    n_buckets: int, raw_params: dict | None = None, tomb=None,
 ) -> DataFrame:
     """Bound-then-refine (docstring in bucket_topk). All bounds come from
     term_stats (block-metadata-derived, index_build._write_term_stats) and
@@ -1610,7 +1676,9 @@ def _bucket_topk_pruned(
     partials = (
         ess.groupby("bucket")
         .cogroup(ess_blocks.groupby("bucket"))
-        .applyInPandas(_bucket_scorer(raw_params), schema=_RESULT_SCHEMA)
+        .applyInPandas(
+            _bucket_scorer(raw_params, tomb), schema=_RESULT_SCHEMA
+        )
         .groupBy("query_id", "doc_id")
         .agg(F.sum("score").alias("p"))
     )
@@ -1628,8 +1696,15 @@ def _bucket_topk_pruned(
         .filter(F.col("rn") == k)
         .select("query_id", F.col("d_lb").alias("theta2"))
     )
+    # `scored` is recomputed independently on the theta2 branch and here,
+    # and bucket-partial aggregation order is not deterministic across
+    # recomputations — the doc DEFINING theta2 can land an ULP below its
+    # own bound and vanish. Widen by a relative epsilon (deep-paging tau
+    # pattern); extra survivors are exact-probed and sorted out by the
+    # final top-k, so exactness is unchanged.
+    t2 = F.coalesce(F.col("theta2"), F.lit(neg_inf))
     cand = scored.join(theta2, "query_id", "left").filter(
-        F.col("d_ub") >= F.coalesce(F.col("theta2"), F.lit(neg_inf))
+        F.col("d_ub") >= t2 - (F.abs(t2) * 1e-9 + F.lit(1e-12))
     ).select("query_id", "doc_id", "p")
 
     # phase 3: probe non-essential terms for the candidates only
@@ -1642,7 +1717,9 @@ def _bucket_topk_pruned(
     probe_partials = (
         probe_in.groupby("bucket")
         .cogroup(ne_blocks.groupby("bucket"))
-        .applyInPandas(_bucket_prober(raw_params), schema=_RESULT_SCHEMA)
+        .applyInPandas(
+            _bucket_prober(raw_params, tomb), schema=_RESULT_SCHEMA
+        )
     )
 
     # phase 4: exact totals for candidates + deterministic top-k
