@@ -457,6 +457,55 @@ def _q_bm25_delete_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_phrase_topk(spark, sf_dir):
+    """PHRASE retrieval through the index (retrieve.phrase_topk — round
+    5): exact candidate-driven verification with no positional index —
+    conjunctive posting-list intersection emits every AND match, a
+    whole-stage-codegen token-adjacency regexp against the documents
+    relation verifies consecutiveness under the build tokenizer, BM25
+    (distinct phrase terms) ranks the survivors. Each query's phrase is
+    the first two tokens of its own document. SQL-expressible end to end
+    (DuckDB regexp_matches with the same pattern), so the whole phrase
+    semantics sits under the hash-exact gate; picked pairs re-scored with
+    exact float64 relational weights as in bm25_index_topk."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.retrieve import phrase_topk
+    from similaripy_spark.fulltext.tokenizer import tokenize_expr
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    queries = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(toks, 1, 2).alias("terms"),
+        )
+        .filter(F.size("terms") >= 2)
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_phrase_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    picked = phrase_topk(spark, d, docs, queries, k=10).select(
+        "query_id", "doc_id"
+    )
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 _SQL_BM25_AND_TOPK_TEMPLATE = """
   qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
   scores AS (
@@ -500,6 +549,47 @@ WITH {_SQL_POSTINGS},
     SELECT query_id, doc_id, score,
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM scores)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
+_SQL_BM25_PHRASE_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  q0 AS (
+    SELECT doc_id AS query_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS l
+    FROM documents WHERE doc_id % 25 = 0),
+  q AS (SELECT query_id, l[1] AS t1, l[2] AS t2 FROM q0 WHERE len(l) >= 2),
+  qterms AS (SELECT query_id, t1 AS term FROM q
+             UNION SELECT query_id, t2 FROM q),
+  qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
+  scores AS (
+    SELECT qt.query_id, w.doc_id, SUM(w.weight) AS score, COUNT(*) AS nm
+    FROM qterms qt JOIN weights w ON qt.term = w.term GROUP BY 1, 2),
+  conj AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scores s JOIN qn ON s.query_id = qn.query_id
+    WHERE s.nm = qn.nreq),
+  ver AS (
+    SELECT c.query_id, c.doc_id, c.score
+    FROM conj c JOIN q ON q.query_id = c.query_id
+    JOIN documents d ON d.doc_id = c.doc_id
+    WHERE regexp_matches(lower(d.text),
+          '(^|[^a-z0-9])' || q.t1 || '[^a-z0-9]+' || q.t2 || '($|[^a-z0-9])')),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM ver)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
 """
 
@@ -1527,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_append_topk": _q_bm25_append_topk,
         "bm25_delete_topk": _q_bm25_delete_topk,
+        "bm25_phrase_topk": _q_bm25_phrase_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1612,6 +1703,8 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_append_topk": _SQL_BM25_TOPK,
         # deletion: full-corpus weights, survivors-only ranking
         "bm25_delete_topk": _SQL_BM25_DELETE_TOPK,
+        # phrase: AND candidates + the same adjacency regexp, in SQL
+        "bm25_phrase_topk": _SQL_BM25_PHRASE_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

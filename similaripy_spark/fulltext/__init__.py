@@ -11,6 +11,9 @@ public serve surface (``retrieve``):
   ingestion for ``weight_scheme='raw'`` indexes (blocks store (tf, dl);
   corpus scalars and idf applied at read time, so committed blocks never
   go stale — append.py);
+* ``phrase_topk(spark, index_dir, pages, queries)`` — exact phrase
+  retrieval: AND posting-list intersection for candidates, codegen
+  token-adjacency regexp against the pages relation, BM25 ranking;
 * ``delete_docs(spark, index_dir, doc_ids)`` / ``compact_index`` —
   tombstone deletion with exact surviving top-k on every query path
   (kernel-level decode filtering) and a compaction rewrite that refreshes
@@ -27,5 +30,6 @@ from similaripy_spark.fulltext.delete import (  # noqa: F401
 from similaripy_spark.fulltext.retrieve import (  # noqa: F401
     IndexHandle,
     open_index,
+    phrase_topk,
     topk,
 )

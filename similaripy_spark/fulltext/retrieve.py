@@ -247,3 +247,87 @@ def topk(
         queries, k=k, path=path, query_weighted=query_weighted,
         point_cutoff=point_cutoff, mode=mode,
     )
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    pages: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact PHRASE retrieval without a positional index: candidate-driven
+    verification, the same pattern the dedup family uses for its
+    LSH-candidate → exact-measure step.
+
+    1. **Candidates from the index**: conjunctive (AND) retrieval over the
+       phrase's distinct terms emits EVERY doc containing all of them —
+       the posting-list intersection with per-block doc-range skipping
+       (wand._score_intersect / the batch match-count grid), truncated by
+       nothing (phrase verification must see every AND match, so the
+       per-shard cap is disabled).
+    2. **Adjacency verification against the pages relation** (the crawl
+       table): candidates semi-join back to their text and a
+       whole-stage-codegen ``RLIKE`` checks the tokens appear CONSECUTIVELY
+       under the build tokenizer — the pattern is the phrase's tokens
+       joined by ``[^a-z0-9]+`` with token-boundary guards, which is
+       exactly "adjacent in tokenize_expr's token stream" (tokens are
+       [a-z0-9]+ runs, so no regex escaping is ever needed).
+    3. **Scores**: BM25 sum over the phrase's distinct terms (the AND-mode
+       scoring), final global top-k under the standard tie rule.
+
+    Queries carry ``phrase`` (raw string, build-tokenized here) or an
+    ordered ``terms`` array. Queries with no tokens return nothing.
+
+    Scale note: cost is linear in the AND-match count — selective phrases
+    touch almost nothing; an all-stopword phrase ("of the") degenerates to
+    verifying every co-occurrence, the known pathology of non-positional
+    phrase search. A positional index (positions varint-encoded next to
+    tfs) would trade index size for that case; candidate-driven
+    verification was chosen because it reuses the committed index format,
+    keeps the pages relation the single source of truth for text, and its
+    verification filter is JVM-codegen (no Python in the loop).
+    """
+    from similaripy_spark.fulltext.tokenizer import TOKEN_SPLIT_RE, tokenize_expr
+    from similaripy_spark.operators.topk import top_k
+
+    if "terms" not in queries.columns:
+        if "phrase" not in queries.columns:
+            raise ValueError(
+                "phrase queries need a 'phrase' string column or an "
+                f"ordered 'terms' array; got {queries.columns}"
+            )
+        queries = queries.withColumn(
+            "terms", tokenize_expr(F.col("phrase"))
+        )
+    q = queries.filter(F.size("terms") > 0).select(
+        "query_id", "terms",
+        F.concat(
+            F.lit("(^|" + TOKEN_SPLIT_RE + ")"),
+            F.array_join(F.col("terms"), TOKEN_SPLIT_RE),
+            F.lit("($|" + TOKEN_SPLIT_RE + ")"),
+        ).alias("pattern"),
+    )
+    meta = read_meta(index_dir)
+    # every AND match, no per-shard cap (k_emit = huge), no deep paging
+    cand = segment_topk(
+        read_segments(spark, index_dir),
+        q.select("query_id", "terms"),
+        k=1 << 62,
+        mode="and",
+        index_dir=index_dir,
+        weight_scheme=meta.get("weight_scheme", "prod"),
+        deep_paging=False,
+    ).select("query_id", "doc_id", "score")
+    verified = (
+        cand.join(F.broadcast(q.select("query_id", "pattern")), "query_id")
+        .join(pages.select("doc_id", F.lower("text").alias("_lt")),
+              "doc_id")
+        .filter(F.regexp_like(F.col("_lt"), F.col("pattern")))
+        .select("query_id", "doc_id", "score")
+    )
+    out = top_k(
+        verified, k, group="query_id", order_value="score",
+        tiebreak="doc_id", keep_rank=True,
+    )
+    return out.select("query_id", "doc_id", "score", "rank")
