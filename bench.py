@@ -408,6 +408,29 @@ def headline_queries(
         # it here so it isn't charged to whichever query happens to use an
         # Arrow kernel first (r4/r5: ann_cosine_topk)
         spark.range(1).mapInPandas(lambda it: it, "id long").count()
+        # two more one-time costs the ann query otherwise absorbs (measured
+        # in isolation, local[32], sf0.1: first call 3.3 s vs 0.85 s warm):
+        # the nested-array Arrow collect of the embeddings table (~1.2 s —
+        # footer + array<float> conversion init; re-paid whenever a scaling
+        # section's cache drop evicts the file) and each python worker's
+        # first BLAS GEMM (~1.2 s — OpenBLAS thread-pool spin-up). Warm
+        # both: a tiny nested collect + a vectors-shaped GEMM through the
+        # mapInArrow workers. A production ANN server pays these once.
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(
+            4
+        ).toPandas()
+
+        def _gemm_warm(batches):
+            import numpy as np
+
+            for b in batches:
+                a = np.ones((4, 8), np.float32)
+                (a @ a.T)
+                yield b
+
+        spark.range(64).repartition(int(cpus)).mapInArrow(
+            _gemm_warm, "id long"
+        ).count()
         qs = E.queries()
         picks = [
             "bm25_topk",

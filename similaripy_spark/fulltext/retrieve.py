@@ -194,6 +194,15 @@ class IndexHandle:
             return bucket_topk(self.spark, self.index_dir, queries, k=k)
         raise ValueError(f"unknown path {path!r}")
 
+    def phrase_topk(
+        self, pages: DataFrame, queries: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Exact phrase retrieval over the opened index (see module-level
+        :func:`phrase_topk`): AND posting-list intersection for
+        candidates, token-adjacency verification against ``pages`` (the
+        crawl table — the text is not stored in the index), BM25 ranking."""
+        return phrase_topk(self.spark, self.index_dir, pages, queries, k=k)
+
     def describe(self) -> dict:
         """Operational stats for the opened index (index_build.describe_index
         — one column-pruned metadata aggregate, no posting decode)."""

@@ -152,3 +152,18 @@ def test_phrase_respects_tombstones(spark, tmp_path):
         r.doc_id for r in phrase_topk(spark, d, pages, q, k=10).collect()
     )
     assert got == [1]
+
+
+def test_phrase_through_handle(spark, corpus, index_dir):
+    from similaripy_spark.fulltext.retrieve import open_index
+
+    q = corpus.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 2), " "
+        ).alias("phrase"),
+    )
+    with open_index(spark, index_dir, cache=False) as h:
+        got = _rows(h.phrase_topk(corpus, q, k=5))
+    want = _rows(phrase_topk(spark, index_dir, corpus, q, k=5))
+    assert got == want and len(got) > 0
