@@ -213,3 +213,54 @@ def test_append_rejects_non_raw_schemes(spark, corpus, tmp_path):
             spark, fac, pages=corpus.filter(F.col("doc_id") >= SPLIT),
             n_groups=2,
         )
+
+
+def test_append_crash_resume(spark, corpus, queries, monkeypatch, tmp_path):
+    """An append that dies after its segment groups committed but before
+    term_stats/meta re-runs to the same final state: the delta doc_stats
+    epoch is rewritten (same bytes — deterministic input), committed delta
+    groups are skipped via the lineage manifests, and the idempotent
+    term_stats recompute + atomic meta swap finish the epoch. A re-run
+    AFTER the meta swap is a different epoch and fails the new-shards
+    validation loudly instead of double-ingesting."""
+    from similaripy_spark.fulltext import append as append_mod
+    from similaripy_spark.fulltext.index_build import IndexBuilder as IB
+
+    inc = str(tmp_path / "inc_crash")
+    IB(inc, n_groups=2, weight_scheme="raw", shard_size=SHARD).build(
+        corpus.filter(F.col("doc_id") < SPLIT)
+    )
+    orig = IB._write_term_stats
+    calls = {"n": 0}
+
+    def boom(self, s):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before term_stats")
+        return orig(self, s)
+
+    monkeypatch.setattr(IB, "_write_term_stats", boom)
+    delta = corpus.filter(F.col("doc_id") >= SPLIT)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_to_index(spark, inc, pages=delta, n_groups=2)
+    # groups are committed, meta is not: the index still reads as pre-append
+    assert read_meta(inc).get("n_epochs", 1) == 1
+    meta = append_to_index(spark, inc, pages=delta, n_groups=2)  # resume
+    assert meta["n_docs"] == N_DOCS and meta["n_epochs"] == 2
+
+    # equality with the never-crashed incremental build
+    clean = str(tmp_path / "inc_clean")
+    monkeypatch.setattr(IB, "_write_term_stats", orig)
+    IB(clean, n_groups=2, weight_scheme="raw", shard_size=SHARD).build(
+        corpus.filter(F.col("doc_id") < SPLIT)
+    )
+    append_to_index(spark, clean, pages=delta, n_groups=2)
+    a = _rows(segment_topk(read_segments(spark, inc), queries, k=5,
+                           index_dir=inc))
+    b = _rows(segment_topk(read_segments(spark, clean), queries, k=5,
+                           index_dir=clean))
+    assert a == b and len(a) > 0
+
+    # re-append of the SAME docs after the completed epoch: loud failure
+    with pytest.raises(ValueError, match="shard boundary"):
+        append_to_index(spark, inc, pages=delta, n_groups=2)
