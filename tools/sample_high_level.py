@@ -60,8 +60,8 @@ def main():
                 "membw_gbps": parsed["membw_gbps"],
             }), flush=True)
             if (parsed["steal_pct"] < 1.0
-                    and parsed.get("build_docs_per_sec", 0) > 12500
-                    and parsed.get("queries_per_sec", 0) > 445):
+                    and parsed.get("build_docs_per_sec", 0) > 13400
+                    and parsed.get("queries_per_sec", 0) > 455):
                 print("clean fast sample landed; stopping early", flush=True)
                 break
     finally:
