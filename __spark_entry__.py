@@ -506,6 +506,57 @@ def _q_bm25_phrase_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_phrase_pos_topk(spark, sf_dir):
+    """PHRASE retrieval from the POSITIONAL SIDECAR (positional.
+    phrase_topk_pos — round 5): same phrase semantics as
+    bm25_phrase_topk but verified from stored token positions alone — no
+    pages relation at serve time. AND candidates over the main index,
+    term-pushed-down sidecar scan + block doc-range skipping, relational
+    offset-join verification (count(distinct offset) == phrase length at
+    a common base). Sharing the regexp entry's DuckDB oracle IS the
+    claim: positions reproduce adjacency exactly. Picked pairs re-scored
+    with exact float64 relational weights as in bm25_index_topk."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.positional import (
+        build_positions,
+        phrase_topk_pos,
+    )
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    queries = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(toks, 1, 2).alias("terms"),
+        )
+        .filter(F.size("terms") >= 2)
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_phrasepos_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_positions(docs, d)
+    picked = phrase_topk_pos(spark, d, queries, k=10).select(
+        "query_id", "doc_id"
+    )
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 _SQL_BM25_AND_TOPK_TEMPLATE = """
   qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
   scores AS (
@@ -1618,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_append_topk": _q_bm25_append_topk,
         "bm25_delete_topk": _q_bm25_delete_topk,
         "bm25_phrase_topk": _q_bm25_phrase_topk,
+        "bm25_phrase_pos_topk": _q_bm25_phrase_pos_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1705,6 +1757,8 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_delete_topk": _SQL_BM25_DELETE_TOPK,
         # phrase: AND candidates + the same adjacency regexp, in SQL
         "bm25_phrase_topk": _SQL_BM25_PHRASE_TOPK,
+        # positional variant must reproduce the SAME adjacency semantics
+        "bm25_phrase_pos_topk": _SQL_BM25_PHRASE_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

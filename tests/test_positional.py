@@ -1,0 +1,225 @@
+"""Positional sidecar: codec round-trip, phrase parity with the regexp
+verifier, repeated-token phrases, append staleness, tombstone composition."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyspark.sql import functions as F
+
+from similaripy_spark.fulltext import codec
+from similaripy_spark.fulltext import positional as P
+from similaripy_spark.fulltext.index_build import IndexBuilder
+from similaripy_spark.fulltext.positional import (
+    StalePositionsError,
+    build_positions,
+    phrase_topk_pos,
+)
+from similaripy_spark.fulltext.retrieve import phrase_topk
+from similaripy_spark.sources.pages import generate_pages
+
+N_DOCS, VOCAB = 900, 700
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pidx"))
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    IndexBuilder(d, shard_size=256, n_groups=3).build(pages)
+    build_positions(pages, d, block_size=64)
+    return d, pages
+
+
+def _phrase_queries(pages, every=25, n_tokens=2):
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    return (
+        pages.filter(F.col("doc_id") % every == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(toks, 1, n_tokens).alias("terms"),
+        )
+        .filter(F.size("terms") >= n_tokens)
+    )
+
+
+def _sorted(df):
+    return (
+        df.toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_pos_payload_roundtrip():
+    """Kernel-level: positions encode → block encode → long-form decode
+    reproduces brute-force token positions exactly."""
+    docs = {
+        0: "The quick brown fox; the quick dog",
+        1: "",
+        5: "a b a b a  C c-c",
+        7: "x",
+        9: None,
+    }
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(docs.keys()), type=pa.int64()),
+            pa.array(list(docs.values()), type=pa.string()),
+        ],
+        names=["doc_id", "text"],
+    )
+
+    def ref(text):
+        out = {}
+        toks = [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+        for i, t in enumerate(toks):
+            out.setdefault(t, []).append(i)
+        return out
+
+    tbl = pa.Table.from_batches(list(P._pos_postings_arrow([batch])))
+    for r in tbl.to_pylist():
+        vals = codec.decode_varints(r["pos_deltas"], r["tf"]).astype(np.int64)
+        assert np.cumsum(vals).tolist() == ref(docs[r["doc_id"]])[r["term"]]
+    with_shard = tbl.append_column(
+        "shard",
+        pa.array(
+            [int(x) // 4 for x in tbl.column("doc_id").to_pylist()],
+            type=pa.int32(),
+        ),
+    )
+    etbl = pa.Table.from_batches(
+        list(P._encode_pos_partition(with_shard.to_batches(), block_size=2))
+    )
+    got = sorted(
+        (r["doc_id"], r["term"], r["pos"])
+        for b in P._decode_positions_arrow(etbl.to_batches())
+        for r in pa.Table.from_batches([b]).to_pylist()
+    )
+    want = sorted(
+        (d, t, p)
+        for d, txt in docs.items()
+        for t, ps in ref(txt).items()
+        for p in ps
+    )
+    assert got == want
+
+
+def test_phrase_pos_matches_regex(spark, built):
+    """The positional verifier and the adjacency-regexp verifier are two
+    implementations of ONE semantics — rank and score identical."""
+    d, pages = built
+    queries = _phrase_queries(pages)
+    a = _sorted(phrase_topk_pos(spark, d, queries, k=10))
+    b = _sorted(phrase_topk(spark, d, pages, queries, k=10))
+    assert list(a["query_id"]) == list(b["query_id"])
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    np.testing.assert_allclose(a["score"], b["score"], rtol=1e-6)
+    assert len(a) > 0
+
+
+def test_phrase_pos_three_tokens(spark, built):
+    d, pages = built
+    queries = _phrase_queries(pages, every=40, n_tokens=3)
+    a = _sorted(phrase_topk_pos(spark, d, queries, k=10))
+    b = _sorted(phrase_topk(spark, d, pages, queries, k=10))
+    assert a[["query_id", "doc_id"]].values.tolist() == \
+        b[["query_id", "doc_id"]].values.tolist()
+
+
+def test_repeated_token_phrase(spark, tmp_path):
+    """'a b a' must match only docs with that exact token run — the
+    repeated term must satisfy BOTH its offsets independently."""
+    rows = [
+        (0, "a b a zz"),        # match at 0
+        (1, "a b c a b"),       # a..a present but never 'a b a'
+        (2, "x a b a"),         # match at 1
+        (3, "a a b a"),         # match at 1
+        (4, "b a b"),           # no
+        (5, "a b"),             # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "idx")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=1).build(df)
+    build_positions(df, d, block_size=4)
+    queries = spark.createDataFrame(
+        [(0, "a b a")], "query_id long, phrase string"
+    )
+    got = phrase_topk_pos(spark, d, queries, k=10)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 2, 3]
+
+
+def test_single_term_phrase(spark, tmp_path):
+    rows = [(0, "hello world"), (1, "world hello world"), (2, "nothing")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "idx1")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=1).build(df)
+    build_positions(df, d)
+    q = spark.createDataFrame([(7, "world")], "query_id long, phrase string")
+    got = phrase_topk_pos(spark, d, q, k=10).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 1]
+
+
+def test_stale_after_append_and_rebuild(spark, tmp_path):
+    """append_to_index grows the corpus without the sidecar → positional
+    phrase REFUSES (never silently misses appended docs); a rebuild then
+    finds matches in the appended docs."""
+    from similaripy_spark.fulltext.append import append_to_index
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "ridx")
+    IndexBuilder(
+        d, shard_size=64, n_groups=1, weight_scheme="raw"
+    ).build(base)
+    build_positions(base, d)
+    q = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id long, phrase string"
+    )
+    assert phrase_topk_pos(spark, d, q, k=100).count() == 64
+    delta = spark.createDataFrame(
+        [(64 + i, f"alpha beta x{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    append_to_index(spark, d, pages=delta, n_groups=1)
+    with pytest.raises(StalePositionsError):
+        phrase_topk_pos(spark, d, q, k=100)
+    build_positions(base.unionAll(delta), d)
+    assert phrase_topk_pos(spark, d, q, k=100).count() == 72
+
+
+def test_tombstoned_docs_never_match(spark, tmp_path):
+    from similaripy_spark.fulltext.delete import delete_docs
+
+    df = spark.createDataFrame(
+        [(i, "red green blue") for i in range(10)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "didx")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=1).build(df)
+    build_positions(df, d)
+    delete_docs(spark, d, [3, 4])
+    q = spark.createDataFrame(
+        [(0, "green blue")], "query_id long, phrase string"
+    )
+    got = sorted(
+        r["doc_id"] for r in phrase_topk_pos(spark, d, q, k=100).collect()
+    )
+    assert got == [0, 1, 2, 5, 6, 7, 8, 9]
+
+
+def test_missing_sidecar_raises(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, "just one doc")], "doc_id long, text string"
+    )
+    d = str(tmp_path / "nidx")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=1).build(df)
+    q = spark.createDataFrame([(0, "one doc")], "query_id long, phrase string")
+    with pytest.raises(StalePositionsError):
+        phrase_topk_pos(spark, d, q, k=10)
