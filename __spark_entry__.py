@@ -557,6 +557,57 @@ def _q_bm25_phrase_pos_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_phrase_slop_topk(spark, sf_dir):
+    """ORDERED-WINDOW PROXIMITY retrieval (positional.phrase_topk_pos with
+    slop=2 — round 5): the phrase's tokens must appear in order with at
+    most 2 extra tokens intervening anywhere in the span
+    (p_last − p_first ≤ n−1+slop). Verified by the greedy sequential
+    min-join over the positional sidecar; the DuckDB oracle states the
+    same semantics directly over token positions (zipped unnest + a
+    windowed self-join), so the proximity definition itself sits under the
+    hash-exact gate. Picked pairs re-scored with exact float64 relational
+    weights as in bm25_index_topk."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.positional import (
+        build_positions,
+        phrase_topk_pos,
+    )
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    queries = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(toks, 1, 2).alias("terms"),
+        )
+        .filter(F.size("terms") >= 2)
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_slop_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_positions(docs, d)
+    picked = phrase_topk_pos(spark, d, queries, k=10, slop=2).select(
+        "query_id", "doc_id"
+    )
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 _SQL_BM25_AND_TOPK_TEMPLATE = """
   qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
   scores AS (
@@ -637,6 +688,55 @@ WITH {_SQL_POSTINGS},
     JOIN documents d ON d.doc_id = c.doc_id
     WHERE regexp_matches(lower(d.text),
           '(^|[^a-z0-9])' || q.t1 || '[^a-z0-9]+' || q.t2 || '($|[^a-z0-9])')),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM ver)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
+# ordered-window proximity (slop=2, 2-token phrases): positions p1 < p2 of
+# the two tokens with p2 - p1 <= 1 + slop — the zipped unnest yields each
+# doc's filtered token stream with 1-based positions
+_SQL_BM25_PHRASE_SLOP_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  base AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS l
+    FROM documents),
+  tpos AS (
+    SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l)+1)) AS pos
+    FROM base),
+  q AS (SELECT doc_id AS query_id, l[1] AS t1, l[2] AS t2
+        FROM base WHERE doc_id % 25 = 0 AND len(l) >= 2),
+  qterms AS (SELECT query_id, t1 AS term FROM q
+             UNION SELECT query_id, t2 FROM q),
+  qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
+  scores AS (
+    SELECT qt.query_id, w.doc_id, SUM(w.weight) AS score, COUNT(*) AS nm
+    FROM qterms qt JOIN weights w ON qt.term = w.term GROUP BY 1, 2),
+  conj AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scores s JOIN qn ON s.query_id = qn.query_id
+    WHERE s.nm = qn.nreq),
+  ver AS (
+    SELECT DISTINCT c.query_id, c.doc_id, c.score
+    FROM conj c
+    JOIN q ON q.query_id = c.query_id
+    JOIN tpos a ON a.doc_id = c.doc_id AND a.tok = q.t1
+    JOIN tpos b ON b.doc_id = c.doc_id AND b.tok = q.t2
+    WHERE b.pos > a.pos AND b.pos - a.pos <= 1 + 2),
   ranked AS (
     SELECT query_id, doc_id, score,
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
@@ -1670,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_delete_topk": _q_bm25_delete_topk,
         "bm25_phrase_topk": _q_bm25_phrase_topk,
         "bm25_phrase_pos_topk": _q_bm25_phrase_pos_topk,
+        "bm25_phrase_slop_topk": _q_bm25_phrase_slop_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1759,6 +1860,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_phrase_topk": _SQL_BM25_PHRASE_TOPK,
         # positional variant must reproduce the SAME adjacency semantics
         "bm25_phrase_pos_topk": _SQL_BM25_PHRASE_TOPK,
+        "bm25_phrase_slop_topk": _SQL_BM25_PHRASE_SLOP_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

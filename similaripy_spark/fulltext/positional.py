@@ -431,6 +431,7 @@ def phrase_topk_pos(
     index_dir: str,
     queries: DataFrame,
     k: int = 10,
+    slop: int = 0,
 ) -> DataFrame:
     """Exact phrase top-k from the index + positional sidecar ALONE — no
     pages relation at serve time.
@@ -441,9 +442,21 @@ def phrase_topk_pos(
     2. Positions: the sidecar scan is term-pushed-down to the phrase terms
        and block-skipped against the candidates' per-shard doc ranges, then
        decoded to (doc_id, term, pos) by the Arrow kernel.
-    3. Verification (relational): join phrase offsets on term,
-       ``base = pos - offset``, and a (query_id, doc_id, base) group where
-       count(distinct offset) == phrase length is a phrase occurrence.
+    3. Verification (relational): for ``slop=0``, join phrase offsets on
+       term, ``base = pos - offset``, and a (query_id, doc_id, base) group
+       where count(distinct offset) == phrase length is a phrase
+       occurrence. For ``slop>0`` (ordered-window proximity — Lucene-style
+       sloppy phrase with in-order terms): a doc matches when positions
+       p_0 < p_1 < … < p_{n-1} exist for the phrase's tokens in order with
+       p_{n-1} − p_0 ≤ (n−1) + slop, i.e. up to ``slop`` extra tokens may
+       intervene anywhere in the span. ``slop=0`` under this definition IS
+       exact adjacency (strictly increasing integers spanning n−1 are
+       consecutive) — parity is pinned in tests. Verified with a GREEDY
+       sequential min-join per phrase offset: for a fixed anchor p_0,
+       taking each p_j as the smallest position of token j greater than
+       p_{j-1} minimizes p_{n-1}, so a window exists iff the greedy end
+       fits — each step is one join + min aggregate, n−1 steps total
+       (phrases are short), every step bounded by the p_0+window filter.
     4. Standard global top-k tie rule (score DESC, doc_id ASC).
 
     Queries carry ``phrase`` (raw string, build-tokenized) or an ordered
@@ -502,20 +515,54 @@ def phrase_topk_pos(
         ],
     ).select(blocks["*"])
     long = decode_positions_long(blocks)
-    m = (
-        long.join(offsets, "term")
-        .join(cand.select("query_id", "doc_id"), ["query_id", "doc_id"],
-              "left_semi")
-        .withColumn("base", F.col("pos") - F.col("offset"))
+    occ = long.join(offsets, "term").join(
+        cand.select("query_id", "doc_id"), ["query_id", "doc_id"],
+        "left_semi",
     )
-    matched = (
-        m.groupBy("query_id", "doc_id", "base")
-        .agg(F.countDistinct("offset").alias("hit"))
-        .join(n_off, "query_id")
-        .filter(F.col("hit") == F.col("n_off"))
-        .select("query_id", "doc_id")
-        .distinct()
-    )
+    if slop == 0:
+        m = occ.withColumn("base", F.col("pos") - F.col("offset"))
+        matched = (
+            m.groupBy("query_id", "doc_id", "base")
+            .agg(F.countDistinct("offset").alias("hit"))
+            .join(n_off, "query_id")
+            .filter(F.col("hit") == F.col("n_off"))
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+    else:
+        # greedy ordered-window sweep, one relational step per offset;
+        # phrase lengths vary per query, so run each length group through
+        # its own (n-1)-step chain (the distinct-lengths collect is tiny)
+        occ = occ.join(n_off, "query_id")
+        lengths = [
+            int(r[0]) for r in q.select(F.size("terms")).distinct().collect()
+        ]
+        parts = []
+        for n in lengths:
+            window = n - 1 + slop
+            occ_n = occ.filter(F.col("n_off") == n)
+            cur = occ_n.filter(F.col("offset") == 0).select(
+                "query_id", "doc_id",
+                F.col("pos").alias("p0"), F.col("pos").alias("prev"),
+            )
+            for j in range(1, n):
+                pj = occ_n.filter(F.col("offset") == j).select(
+                    "query_id", "doc_id", F.col("pos").alias("pj")
+                )
+                cur = (
+                    cur.join(pj, ["query_id", "doc_id"])
+                    .filter(
+                        (F.col("pj") > F.col("prev"))
+                        & (F.col("pj") <= F.col("p0") + F.lit(window))
+                    )
+                    .groupBy("query_id", "doc_id", "p0")
+                    .agg(F.min("pj").alias("prev"))
+                )
+            parts.append(cur.select("query_id", "doc_id").distinct())
+        matched = parts[0]
+        for p in parts[1:]:
+            matched = matched.unionByName(p)
+        matched = matched.distinct()
     verified = matched.join(cand, ["query_id", "doc_id"])
     out = top_k(
         verified, k, group="query_id", order_value="score",

@@ -223,3 +223,122 @@ def test_missing_sidecar_raises(spark, tmp_path):
     q = spark.createDataFrame([(0, "one doc")], "query_id long, phrase string")
     with pytest.raises(StalePositionsError):
         phrase_topk_pos(spark, d, q, k=10)
+
+
+def test_slop_constructed(spark, tmp_path):
+    """Ordered-window semantics: up to ``slop`` extra tokens may intervene
+    anywhere in the span; order is required."""
+    rows = [
+        (0, "alpha beta gamma"),          # exact
+        (1, "alpha x beta gamma"),        # 1 gap before beta
+        (2, "alpha beta x gamma"),        # 1 gap before gamma
+        (3, "alpha x beta y gamma"),      # 2 gaps total
+        (4, "alpha x y beta gamma"),      # 2 gaps, same place
+        (5, "gamma beta alpha"),          # wrong order, all terms present
+        (6, "alpha beta q q q gamma"),    # 3 gaps
+        (7, "beta alpha gamma"),          # alpha..gamma ok but beta before
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "sidx")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=1).build(df)
+    build_positions(df, d, block_size=4)
+    q = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "query_id long, phrase string"
+    )
+
+    def got(slop):
+        return sorted(
+            r["doc_id"]
+            for r in phrase_topk_pos(spark, d, q, k=100, slop=slop).collect()
+        )
+
+    assert got(0) == [0]
+    assert got(1) == [0, 1, 2]
+    assert got(2) == [0, 1, 2, 3, 4]
+    assert got(3) == [0, 1, 2, 3, 4, 6]
+
+
+def test_slop_brute_force_parity(spark, built):
+    """Randomized: the greedy relational sweep equals a brute-force
+    ordered-window check over the true token streams, for mixed phrase
+    lengths and several slop values."""
+    d, pages = built
+    q2 = _phrase_queries(pages, every=60, n_tokens=2)
+    q3 = _phrase_queries(pages, every=75, n_tokens=3).withColumn(
+        "query_id", F.col("query_id") + 100000
+    )
+    queries = q2.unionByName(q3)
+    toks = {
+        r["doc_id"]: [
+            t for t in re.split("[^a-z0-9]+", r["text"].lower()) if t
+        ]
+        for r in pages.collect()
+    }
+    qterms = {r["query_id"]: list(r["terms"]) for r in queries.collect()}
+
+    def brute(terms, stream, slop):
+        n = len(terms)
+        win = n - 1 + slop
+        for i, t in enumerate(stream):
+            if t != terms[0]:
+                continue
+            prev = i
+            ok = True
+            for j in range(1, n):
+                nxt = next(
+                    (p for p in range(prev + 1, min(i + win + 1, len(stream)))
+                     if stream[p] == terms[j]),
+                    None,
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                prev = nxt
+            if ok:
+                return True
+        return False
+
+    for slop in (1, 2):
+        got = {
+            (r["query_id"], r["doc_id"])
+            for r in phrase_topk_pos(
+                spark, d, queries, k=1 << 30, slop=slop
+            ).collect()
+        }
+        want = {
+            (qid, did)
+            for qid, terms in qterms.items()
+            for did, stream in toks.items()
+            if brute(terms, stream, slop)
+        }
+        assert got == want, f"slop={slop}"
+
+
+def test_slop_zero_brute_force(spark, built):
+    """slop=0 (the base-grouping path) equals brute-force adjacency over
+    the true token streams — anchoring the slop family's zero point."""
+    d, pages = built
+    queries = _phrase_queries(pages, every=50, n_tokens=2)
+    toks = {
+        r["doc_id"]: [
+            t for t in re.split("[^a-z0-9]+", r["text"].lower()) if t
+        ]
+        for r in pages.collect()
+    }
+    qterms = {r["query_id"]: list(r["terms"]) for r in queries.collect()}
+    want = set()
+    for qid, terms in qterms.items():
+        n = len(terms)
+        for did, stream in toks.items():
+            if any(
+                stream[i:i + n] == terms
+                for i in range(0, max(len(stream) - n + 1, 0))
+            ):
+                want.add((qid, did))
+    got_all = {
+        (r["query_id"], r["doc_id"])
+        for r in phrase_topk_pos(
+            spark, d, queries, k=1 << 30, slop=0
+        ).collect()
+    }
+    assert got_all == want
