@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 
@@ -271,6 +272,25 @@ def _encode_pos_partition(batches, block_size: int):
     )
 
 
+def _encode_position_blocks(
+    pages: DataFrame,
+    shard_size: int,
+    block_size: int,
+    n_partitions: int,
+) -> DataFrame:
+    """pages → positional block rows: one tokenize pass (Arrow kernel),
+    hash repartition by the main index's shard mapping, lexsort encode."""
+    pos_postings = pages.select("doc_id", "text").mapInArrow(
+        _pos_postings_arrow, schema=POS_POSTINGS_SCHEMA
+    ).withColumn(
+        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+    )
+    return pos_postings.repartition(n_partitions, "shard").mapInArrow(
+        lambda it: _encode_pos_partition(it, block_size),
+        schema=POS_SEGMENT_SCHEMA,
+    )
+
+
 def build_positions(
     pages: DataFrame,
     index_dir: str,
@@ -285,21 +305,14 @@ def build_positions(
     stage→commit publish of ``<index_dir>/positions`` with ``_meta.json``
     recording the main index's epoch/corpus identity. Idempotent: a rebuild
     replaces the sidecar in one pointer swap. Returns the sidecar meta."""
-    spark = pages.sparkSession
     meta = read_meta(index_dir)
     shard_size = int(meta["shard_size"])
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)
-    pos_postings = pages.select("doc_id", "text").mapInArrow(
-        _pos_postings_arrow, schema=POS_POSTINGS_SCHEMA
-    ).withColumn(
-        "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-    )
     if n_partitions is None:
         n_partitions = max(int(meta["n_shards"]), 1)
-    blocks = pos_postings.repartition(n_partitions, "shard").mapInArrow(
-        lambda it: _encode_pos_partition(it, block_size),
-        schema=POS_SEGMENT_SCHEMA,
+    blocks = _encode_position_blocks(
+        pages, shard_size, block_size, n_partitions
     )
     commit = LocalFSCommitProtocol()
     out = os.path.join(index_dir, "positions")
@@ -309,12 +322,107 @@ def build_positions(
         "block_size": int(block_size),
         "n_epochs": int(meta.get("n_epochs", 1)),
         "n_docs": int(meta["n_docs"]),
+        "n_shards": int(meta["n_shards"]),
         "shard_size": shard_size,
         "tokenizer": TOKEN_SPLIT_RE,
     }
     with open(os.path.join(staged, "_meta.json"), "w") as f:
         json.dump(side_meta, f)
     commit.commit_dir(staged, out)
+    return side_meta
+
+
+def append_positions(
+    delta_pages: DataFrame,
+    index_dir: str,
+    n_partitions: int | None = None,
+) -> dict:
+    """Catch the sidecar up to an appended index WITHOUT re-tokenizing the
+    committed corpus.
+
+    ``append_to_index`` only ever opens NEW shards (committed shards are
+    immutable), and the sidecar is doc-sharded the same way — so the delta
+    encodes independently: no existing block is ever merged or rewritten.
+    Publish is the same atomic stage→swap as a rebuild, with the committed
+    parquet files HARDLINKED into the staged dir (zero copy; on the
+    object-store protocol the new version's manifest would list the old
+    objects instead). ``delta_pages`` must be exactly the pages appended to
+    the main index since the sidecar was built; that is cross-checked two
+    ways — the delta row count must close the sidecar→index doc-count gap
+    exactly, and every delta doc must land in a shard the sidecar has never
+    seen. Returns the merged sidecar meta (now fresh)."""
+    meta = read_meta(index_dir)
+    if not has_positions(index_dir):
+        raise StalePositionsError(
+            f"no positional sidecar under {index_dir}/positions — nothing "
+            "to append to; run positional.build_positions first"
+        )
+    side = positions_meta(index_dir)
+    if int(side.get("n_epochs", 1)) == int(meta.get("n_epochs", 1)) and int(
+        side.get("n_docs", -1)
+    ) == int(meta["n_docs"]):
+        raise ValueError("positional sidecar is already fresh — nothing to append")
+    if int(side["shard_size"]) != int(meta["shard_size"]):
+        raise ValueError(
+            "sidecar shard_size differs from the index — rebuild with "
+            "build_positions"
+        )
+    if "n_shards" not in side:
+        raise ValueError(
+            "sidecar predates shard tracking — rebuild with build_positions"
+        )
+    shard_size = int(meta["shard_size"])
+    n_delta = delta_pages.count()
+    gap = int(meta["n_docs"]) - int(side["n_docs"])
+    if n_delta != gap:
+        raise ValueError(
+            f"delta has {n_delta} docs but the index grew by {gap} since "
+            "the sidecar was built — pass exactly the appended pages, or "
+            "rebuild with build_positions"
+        )
+    min_doc = delta_pages.agg(F.min("doc_id")).first()[0]
+    if min_doc is None:
+        raise ValueError("delta_pages is empty")
+    if min_doc // shard_size < int(side["n_shards"]):
+        raise ValueError(
+            f"delta doc_ids reach into shard {min_doc // shard_size} but "
+            f"the sidecar already covers shards < {side['n_shards']} — "
+            "committed shards are immutable; rebuild with build_positions"
+        )
+    if n_partitions is None:
+        n_partitions = max(int(meta["n_shards"]) - int(side["n_shards"]), 1)
+    blocks = _encode_position_blocks(
+        delta_pages, shard_size, int(side["block_size"]), n_partitions
+    )
+    commit = LocalFSCommitProtocol()
+    out = os.path.join(index_dir, "positions")
+    cur = positions_dir(index_dir)
+    staged = commit.stage_path(out)
+    delta_dir = staged + "__delta"
+    if os.path.isdir(delta_dir):
+        shutil.rmtree(delta_dir)
+    blocks.write.mode("overwrite").parquet(delta_dir)
+    os.makedirs(staged, exist_ok=True)
+    epoch = int(meta.get("n_epochs", 1))
+    for name in os.listdir(cur):
+        if name.endswith(".parquet"):
+            os.link(os.path.join(cur, name), os.path.join(staged, name))
+    for name in os.listdir(delta_dir):
+        if name.endswith(".parquet"):
+            os.replace(
+                os.path.join(delta_dir, name),
+                os.path.join(staged, f"epoch{epoch:05d}-{name}"),
+            )
+    side_meta = {
+        **{k: side[k] for k in side if k != "n_epochs"},
+        "n_epochs": epoch,
+        "n_docs": int(meta["n_docs"]),
+        "n_shards": int(meta["n_shards"]),
+    }
+    with open(os.path.join(staged, "_meta.json"), "w") as f:
+        json.dump(side_meta, f)
+    commit.commit_dir(staged, out)
+    shutil.rmtree(delta_dir, ignore_errors=True)
     return side_meta
 
 

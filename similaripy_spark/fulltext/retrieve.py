@@ -195,12 +195,38 @@ class IndexHandle:
         raise ValueError(f"unknown path {path!r}")
 
     def phrase_topk(
-        self, pages: DataFrame, queries: DataFrame, k: int = 10
+        self,
+        pages: DataFrame | None,
+        queries: DataFrame,
+        k: int = 10,
+        slop: int = 0,
     ) -> DataFrame:
-        """Exact phrase retrieval over the opened index (see module-level
-        :func:`phrase_topk`): AND posting-list intersection for
-        candidates, token-adjacency verification against ``pages`` (the
-        crawl table — the text is not stored in the index), BM25 ranking."""
+        """Exact phrase retrieval over the opened index, routed by what the
+        index has: when a FRESH positional sidecar exists
+        (positional.build_positions), verification runs from stored token
+        positions alone — ``pages`` may be None, and ``slop`` (ordered-
+        window proximity, see positional.phrase_topk_pos) is supported.
+        Otherwise falls back to the candidate-driven adjacency-regexp path
+        against ``pages`` (module-level :func:`phrase_topk`), which needs
+        the crawl table and supports only ``slop=0``."""
+        from similaripy_spark.fulltext import positional
+
+        if positional.has_positions(self.index_dir):
+            positional.check_positions_fresh(self.index_dir)
+            return positional.phrase_topk_pos(
+                self.spark, self.index_dir, queries, k=k, slop=slop
+            )
+        if slop != 0:
+            raise ValueError(
+                "slop > 0 needs the positional sidecar — run "
+                "positional.build_positions(pages, index_dir) first"
+            )
+        if pages is None:
+            raise ValueError(
+                "no positional sidecar: the adjacency-regexp phrase path "
+                "needs the pages relation (or build the sidecar with "
+                "positional.build_positions)"
+            )
         return phrase_topk(self.spark, self.index_dir, pages, queries, k=k)
 
     def describe(self) -> dict:

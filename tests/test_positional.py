@@ -342,3 +342,97 @@ def test_slop_zero_brute_force(spark, built):
         ).collect()
     }
     assert got_all == want
+
+
+def test_handle_routes_phrase_to_sidecar(spark, built):
+    """IndexHandle.phrase_topk: with a fresh sidecar, verification needs no
+    pages relation and supports slop; without one, slop>0 and pages=None
+    are loud errors."""
+    from similaripy_spark.fulltext.retrieve import open_index
+
+    d, pages = built
+    queries = _phrase_queries(pages, every=60)
+    with open_index(spark, d, cache=False) as h:
+        a = _sorted(h.phrase_topk(None, queries, k=10))
+    b = _sorted(phrase_topk_pos(spark, d, queries, k=10))
+    assert a[["query_id", "doc_id"]].values.tolist() == \
+        b[["query_id", "doc_id"]].values.tolist()
+
+
+def test_handle_phrase_without_sidecar_needs_pages(spark, tmp_path):
+    from similaripy_spark.fulltext.retrieve import open_index
+
+    df = spark.createDataFrame(
+        [(0, "only doc here")], "doc_id long, text string"
+    )
+    d = str(tmp_path / "hidx")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=1).build(df)
+    q = spark.createDataFrame([(0, "only doc")], "query_id long, phrase string")
+    with open_index(spark, d, cache=False) as h:
+        with pytest.raises(ValueError, match="pages relation"):
+            h.phrase_topk(None, q, k=5)
+        with pytest.raises(ValueError, match="slop"):
+            h.phrase_topk(df, q, k=5, slop=1)
+        assert h.phrase_topk(df, q, k=5).count() == 1
+
+
+def test_append_positions_equals_rebuild(spark, tmp_path):
+    """Sidecar append == full rebuild: same decoded (doc, term, pos) set,
+    same phrase results, freshness restored — without re-tokenizing the
+    committed corpus. Wrong deltas are rejected loudly."""
+    from similaripy_spark.fulltext.append import append_to_index
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(64)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "aidx")
+    IndexBuilder(
+        d, shard_size=64, n_groups=1, weight_scheme="raw"
+    ).build(base)
+    build_positions(base, d, block_size=16)
+    delta = spark.createDataFrame(
+        [(64 + i, f"alpha x beta y{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    append_to_index(spark, d, pages=delta, n_groups=1)
+
+    # wrong delta: count that doesn't close the gap
+    with pytest.raises(ValueError, match="grew by"):
+        P.append_positions(delta.limit(3), d)
+    # wrong delta: reaches into committed shards
+    bad = delta.withColumn("doc_id", F.col("doc_id") - 64)
+    with pytest.raises(ValueError, match="immutable"):
+        P.append_positions(bad, d)
+
+    P.append_positions(delta, d)
+    q = spark.createDataFrame(
+        [(1, "alpha beta")], "query_id long, phrase string"
+    )
+    # appended docs have a gap token → only base matches exactly,
+    # everything matches at slop=1
+    assert phrase_topk_pos(spark, d, q, k=200).count() == 64
+    assert phrase_topk_pos(spark, d, q, k=200, slop=1).count() == 72
+
+    got = {
+        (r["doc_id"], r["term"], r["pos"])
+        for r in P.decode_positions_long(
+            P.read_positions(spark, d)
+        ).collect()
+    }
+    d2 = str(tmp_path / "aidx2")
+    IndexBuilder(d2, shard_size=64, n_groups=1, weight_scheme="raw").build(
+        base.unionAll(delta)
+    )
+    build_positions(base.unionAll(delta), d2, block_size=16)
+    want = {
+        (r["doc_id"], r["term"], r["pos"])
+        for r in P.decode_positions_long(
+            P.read_positions(spark, d2)
+        ).collect()
+    }
+    assert got == want
+
+    # already fresh → loud no-op
+    with pytest.raises(ValueError, match="already fresh"):
+        P.append_positions(delta, d)
