@@ -608,6 +608,68 @@ def _q_bm25_phrase_slop_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_snippet_spans(spark, sf_dir):
+    """SNIPPET SPANS (positional.best_window_spans — round 5): for each
+    conjunctive top-10 pair, the best 8-token highlight window from the
+    positional sidecar — among windows anchored at a query-term
+    occurrence, the one covering the most distinct query terms, ties to
+    the smallest start. The DuckDB oracle states the identical anchored-
+    window argmax over zipped-unnest token positions. Pairs come from the
+    exact relational AND top-10 (float64, standard tie rule) on both
+    sides, so the entry isolates the span semantics."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.positional import (
+        best_window_spans,
+        build_positions,
+    )
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    queries = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(toks, 1, 2).alias("terms"),
+        )
+        .filter(F.size("terms") >= 2)
+    )
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    qn = qterms.groupBy("query_id").agg(F.count("*").alias("nreq"))
+    scores = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"), F.count("*").alias("nm"))
+    )
+    conj = scores.join(qn, "query_id").filter(F.col("nm") == F.col("nreq"))
+    rn = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    pairs = (
+        conj.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id")
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_snip_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_positions(docs, d)
+    return best_window_spans(spark, d, pairs, queries, window=8).select(
+        "query_id", "doc_id",
+        F.col("start").alias("span_start"),
+        F.col("end").alias("span_end"),
+        "n_terms",
+    )
+
+
 _SQL_BM25_AND_TOPK_TEMPLATE = """
   qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
   scores AS (
@@ -742,6 +804,69 @@ WITH {_SQL_POSTINGS},
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM ver)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
+# snippet spans over the conjunctive top-10: anchored 8-token window argmax
+# (most distinct query terms, ties to smallest start) over token positions;
+# tpos is 1-based so the final projection shifts to the sidecar's 0-based
+# token offsets
+_SQL_BM25_SNIPPET_SPANS = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  base AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS l
+    FROM documents),
+  tpos AS (
+    SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l)+1)) AS pos
+    FROM base),
+  q AS (SELECT doc_id AS query_id, l[1] AS t1, l[2] AS t2
+        FROM base WHERE doc_id % 25 = 0 AND len(l) >= 2),
+  qterms AS (SELECT query_id, t1 AS term FROM q
+             UNION SELECT query_id, t2 FROM q),
+  qn AS (SELECT query_id, COUNT(*) AS nreq FROM qterms GROUP BY 1),
+  scores AS (
+    SELECT qt.query_id, w.doc_id, SUM(w.weight) AS score, COUNT(*) AS nm
+    FROM qterms qt JOIN weights w ON qt.term = w.term GROUP BY 1, 2),
+  conj AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scores s JOIN qn ON s.query_id = qn.query_id
+    WHERE s.nm = qn.nreq),
+  pairs AS (
+    SELECT query_id, doc_id FROM (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+      FROM conj) WHERE rn <= 10),
+  anchors AS (
+    SELECT DISTINCT p.query_id, p.doc_id, t.pos AS s
+    FROM pairs p
+    JOIN qterms qt ON qt.query_id = p.query_id
+    JOIN tpos t ON t.doc_id = p.doc_id AND t.tok = qt.term),
+  counted AS (
+    SELECT a.query_id, a.doc_id, a.s,
+           COUNT(DISTINCT t2.tok) AS n_terms, MAX(t2.pos) AS e
+    FROM anchors a
+    JOIN qterms qt2 ON qt2.query_id = a.query_id
+    JOIN tpos t2 ON t2.doc_id = a.doc_id AND t2.tok = qt2.term
+                AND t2.pos >= a.s AND t2.pos < a.s + 8
+    GROUP BY 1, 2, 3),
+  best AS (
+    SELECT query_id, doc_id, s, e, n_terms,
+           ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+                              ORDER BY n_terms DESC, s ASC) AS rn
+    FROM counted)
+SELECT query_id, doc_id, s - 1 AS span_start, e - 1 AS span_end, n_terms
+FROM best WHERE rn = 1
 """
 
 
@@ -1771,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": _q_bm25_phrase_topk,
         "bm25_phrase_pos_topk": _q_bm25_phrase_pos_topk,
         "bm25_phrase_slop_topk": _q_bm25_phrase_slop_topk,
+        "bm25_snippet_spans": _q_bm25_snippet_spans,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1861,6 +1987,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         # positional variant must reproduce the SAME adjacency semantics
         "bm25_phrase_pos_topk": _SQL_BM25_PHRASE_TOPK,
         "bm25_phrase_slop_topk": _SQL_BM25_PHRASE_SLOP_TOPK,
+        "bm25_snippet_spans": _SQL_BM25_SNIPPET_SPANS,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

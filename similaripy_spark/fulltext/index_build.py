@@ -1249,6 +1249,19 @@ def describe_index(spark: SparkSession, index_dir: str) -> dict:
     }
     if out["has_merged"]:
         out["merged_n_buckets"] = merged_n_buckets(index_dir)
+    from similaripy_spark.fulltext import positional
+
+    if positional.has_positions(index_dir):
+        side = positional.positions_meta(index_dir)
+        out["positions"] = {
+            "fresh": (
+                int(side.get("n_epochs", 1)),
+                int(side.get("n_docs", -1)),
+            )
+            == (int(meta.get("n_epochs", 1)), int(meta["n_docs"])),
+            "block_size": int(side.get("block_size", 0)),
+            "n_epochs": int(side.get("n_epochs", 1)),
+        }
     bm = os.path.join(index_dir, "lineage", "build_metrics.json")
     if os.path.exists(bm):
         out["build_phase_ms"] = json.load(open(bm)).get("phase_ms")

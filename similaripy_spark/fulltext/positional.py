@@ -77,6 +77,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from similaripy_spark.fulltext import codec
 from similaripy_spark.fulltext.commit import (
@@ -529,6 +530,120 @@ def decode_positions_long(blocks: DataFrame) -> DataFrame:
     )
 
 
+def _positions_for(
+    spark: SparkSession,
+    index_dir: str,
+    shard_size: int,
+    term_rel: DataFrame,
+    docs_rel: DataFrame,
+) -> DataFrame:
+    """Long-form positions restricted to a term set and a doc set: the
+    query vocabulary is tiny (driver-side distinct collect) → parquet
+    predicate pushdown on the sidecar scan; block doc-range skipping
+    against the doc set's per-shard [min, max] ranges; Arrow decode of the
+    surviving blocks only."""
+    terms = [r[0] for r in term_rel.distinct().collect()]
+    blocks = read_positions(spark, index_dir).filter(
+        F.col("term").isin(terms)
+    )
+    ranges = (
+        docs_rel.select("doc_id")
+        .withColumn(
+            "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+        )
+        .groupBy("shard")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    )
+    blocks = blocks.join(
+        F.broadcast(ranges),
+        on=[
+            blocks["shard"] == ranges["shard"],
+            blocks["max_doc"] >= ranges["lo"],
+            blocks["first_doc"] <= ranges["hi"],
+        ],
+    ).select(blocks["*"])
+    return decode_positions_long(blocks)
+
+
+def best_window_spans(
+    spark: SparkSession,
+    index_dir: str,
+    pairs: DataFrame,
+    queries: DataFrame,
+    window: int = 8,
+) -> DataFrame:
+    """SNIPPET SPANS from stored positions alone: for each retrieved
+    (query_id, doc_id) pair, the best highlight window — among windows of
+    ``window`` tokens anchored at a query-term occurrence, the one
+    covering the MOST DISTINCT query terms; ties broken by the smallest
+    start. Anchoring at occurrences is lossless for the max (shifting a
+    window's start right to its first contained occurrence never drops a
+    term) and makes ``start`` the first highlighted token, which is what a
+    snippet renderer wants.
+
+    Relational end to end: occurrences come from the sidecar via the same
+    term-pushdown + block doc-range skipping as phrase verification, then
+    one self-join bounded by the window width counts distinct terms per
+    anchor, and a row_number picks the argmax per pair. Cost is
+    occurrences × (occurrences within ``window``) per pair — independent
+    of document length.
+
+    Returns (query_id, doc_id, start, end, n_terms): token offsets
+    (0-based, build-tokenizer stream) of the first and last matched
+    occurrence in the chosen window, and how many distinct query terms it
+    covers. Pairs whose doc contains no query term yield no row."""
+    from similaripy_spark.fulltext.tokenizer import tokenize_expr
+
+    check_positions_fresh(index_dir)
+    meta = read_meta(index_dir)
+    if "terms" not in queries.columns:
+        if "phrase" not in queries.columns:
+            raise ValueError(
+                "queries need a 'phrase' string column or a 'terms' array; "
+                f"got {queries.columns}"
+            )
+        queries = queries.withColumn("terms", tokenize_expr(F.col("phrase")))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    p = pairs.select("query_id", "doc_id")
+    long = _positions_for(
+        spark, index_dir, int(meta["shard_size"]), qterms.select("term"), p
+    )
+    occ = long.join(qterms, "term").join(p, ["query_id", "doc_id"], "left_semi")
+    a = occ.select(
+        "query_id", "doc_id", F.col("pos").alias("start")
+    )
+    b = occ.select(
+        F.col("query_id").alias("qb"), F.col("doc_id").alias("db"),
+        F.col("term").alias("tb"), F.col("pos").alias("pb"),
+    )
+    counted = (
+        a.join(
+            b,
+            on=[
+                a["query_id"] == b["qb"],
+                a["doc_id"] == b["db"],
+                b["pb"] >= a["start"],
+                b["pb"] < a["start"] + F.lit(int(window)),
+            ],
+        )
+        .groupBy("query_id", "doc_id", "start")
+        .agg(
+            F.countDistinct("tb").alias("n_terms"),
+            F.max("pb").alias("end"),
+        )
+    )
+    w = W.partitionBy("query_id", "doc_id").orderBy(
+        F.col("n_terms").desc(), F.col("start").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "doc_id", "start", "end", "n_terms")
+    )
+
+
 # ---------------------------------------------------------------------------
 # positional phrase retrieval
 # ---------------------------------------------------------------------------
@@ -601,28 +716,9 @@ def phrase_topk_pos(
     n_off = q.select(
         "query_id", F.size("terms").alias("n_off")
     )
-    # the phrase vocabulary is tiny (a driver-side collect of distinct
-    # query terms) → parquet predicate pushdown on the sidecar scan
-    terms = [r[0] for r in offsets.select("term").distinct().collect()]
-    blocks = read_positions(spark, index_dir).filter(F.col("term").isin(terms))
-    # block skipping: only blocks whose doc range overlaps some candidate
-    # range in the same shard are decoded
-    ranges = (
-        cand.withColumn(
-            "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-        )
-        .groupBy("shard")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    long = _positions_for(
+        spark, index_dir, shard_size, offsets.select("term"), cand
     )
-    blocks = blocks.join(
-        F.broadcast(ranges),
-        on=[
-            blocks["shard"] == ranges["shard"],
-            blocks["max_doc"] >= ranges["lo"],
-            blocks["first_doc"] <= ranges["hi"],
-        ],
-    ).select(blocks["*"])
-    long = decode_positions_long(blocks)
     occ = long.join(offsets, "term").join(
         cand.select("query_id", "doc_id"), ["query_id", "doc_id"],
         "left_semi",

@@ -436,3 +436,86 @@ def test_append_positions_equals_rebuild(spark, tmp_path):
     # already fresh → loud no-op
     with pytest.raises(ValueError, match="already fresh"):
         P.append_positions(delta, d)
+
+
+def test_describe_reports_sidecar(spark, built, tmp_path):
+    from similaripy_spark.fulltext.index_build import describe_index
+
+    d, pages = built
+    got = describe_index(spark, d)["positions"]
+    assert got["fresh"] is True and got["block_size"] == 64
+
+    df = spark.createDataFrame([(0, "bare doc")], "doc_id long, text string")
+    d2 = str(tmp_path / "bare")
+    IndexBuilder(d2, shard_size=1 << 14, n_groups=1).build(df)
+    assert "positions" not in describe_index(spark, d2)
+
+
+def test_best_window_constructed(spark, tmp_path):
+    """Window argmax + tie rule: most distinct query terms wins; equal
+    counts -> smallest start; end = last matched occurrence in-window."""
+    rows = [
+        (0, "q1 x x x x x x x x q1 q2 y"),   # best: [9,10] covers both
+        (1, "q2 q1 z"),                      # best at 0: both terms
+        (2, "q1 v v v v v v v v v v q1"),    # only q1; tie -> start 0
+        (3, "none of them"),                 # no query term -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "widx")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=1).build(df)
+    build_positions(df, d, block_size=4)
+    q = spark.createDataFrame([(5, "q1 q2")], "query_id long, phrase string")
+    pairs = spark.createDataFrame(
+        [(5, i) for i in range(4)], "query_id long, doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["start"], r["end"], r["n_terms"])
+        for r in P.best_window_spans(spark, d, pairs, q, window=4).collect()
+    }
+    assert got == {0: (9, 10, 2), 1: (0, 1, 2), 2: (0, 0, 1)}
+
+
+def test_best_window_brute_force(spark, built):
+    """Randomized parity with a Python brute force over true token
+    streams (anchored-window semantics, both tie rules)."""
+    d, pages = built
+    queries = _phrase_queries(pages, every=90, n_tokens=3)
+    qterms = {
+        r["query_id"]: set(r["terms"]) for r in queries.collect()
+    }
+    toks = {
+        r["doc_id"]: [
+            t for t in re.split("[^a-z0-9]+", r["text"].lower()) if t
+        ]
+        for r in pages.collect()
+    }
+    W = 6
+    pairs_py = [
+        (qid, did)
+        for qid, ts in qterms.items()
+        for did, stream in toks.items()
+        if did % 7 == 0 and ts & set(stream)
+    ]
+    pairs = spark.createDataFrame(
+        pairs_py or [(0, 0)], "query_id long, doc_id long"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["start"], r["end"], r["n_terms"])
+        for r in P.best_window_spans(
+            spark, d, pairs, queries, window=W
+        ).collect()
+    }
+    want = {}
+    for qid, did in pairs_py:
+        ts, stream = qterms[qid], toks[did]
+        anchors = [i for i, t in enumerate(stream) if t in ts]
+        best = None
+        for a in anchors:
+            hit = [p for p in anchors if a <= p < a + W]
+            n = len({stream[p] for p in hit})
+            key = (-n, a)
+            if best is None or key < best[0]:
+                best = (key, (a, max(hit), n))
+        if best:
+            want[(qid, did)] = best[1]
+    assert got == want and len(want) > 0
