@@ -608,6 +608,51 @@ def _q_bm25_phrase_slop_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_min_match_topk(spark, sf_dir):
+    """QUORUM retrieval (min_match=2 over 3-token queries — round 5,
+    Lucene's minimum_should_match): docs matching at least 2 distinct
+    query terms, BM25-ranked. Served by the segment batch scorer's
+    match-count grid through the public IndexHandle; the oracle is the
+    relational HAVING count >= 2. Picked pairs re-scored with exact
+    float64 relational weights as in bm25_index_topk."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.retrieve import open_index
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    queries = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_distinct(F.slice(toks, 1, 3)).alias("terms"),
+        )
+        .filter(F.size("terms") >= 2)
+    )
+    d = tempfile.mkdtemp(prefix="entry_idx_mm_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    with open_index(spark, d, cache=False) as h:
+        picked = h.topk(queries, k=10, min_match=2).select(
+            "query_id", "doc_id"
+        )
+        w = bm25_weights(_postings(spark, sf_dir))
+        qterms = queries.select(
+            "query_id", F.explode("terms").alias("term")
+        ).distinct()
+        exact = (
+            qterms.join(w, "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("weight").alias("score"))
+        )
+        return picked.join(exact, ["query_id", "doc_id"]).select(
+            "query_id", "doc_id", _r6("score").alias("score")
+        )
+
+
 def _q_bm25_snippet_spans(spark, sf_dir):
     """SNIPPET SPANS (positional.best_window_spans — round 5): for each
     conjunctive top-10 pair, the best 8-token highlight window from the
@@ -803,6 +848,39 @@ WITH {_SQL_POSTINGS},
     SELECT query_id, doc_id, score,
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM ver)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
+# quorum retrieval: >= 2 distinct matched terms of 3-token queries; the
+# query-side filter (>= 2 distinct query terms) matches the Spark entry's
+_SQL_BM25_MIN_MATCH_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  q0 AS (
+    SELECT doc_id AS query_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS l
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, unnest(l[1:3]) AS term FROM q0),
+  qn AS (SELECT query_id FROM qterms GROUP BY 1 HAVING COUNT(*) >= 2),
+  scores AS (
+    SELECT qt.query_id, w.doc_id, SUM(w.weight) AS score, COUNT(*) AS nm
+    FROM qterms qt JOIN qn USING (query_id)
+    JOIN weights w ON qt.term = w.term GROUP BY 1, 2),
+  quorum AS (SELECT query_id, doc_id, score FROM scores WHERE nm >= 2),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM quorum)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
 """
 
@@ -1897,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_pos_topk": _q_bm25_phrase_pos_topk,
         "bm25_phrase_slop_topk": _q_bm25_phrase_slop_topk,
         "bm25_snippet_spans": _q_bm25_snippet_spans,
+        "bm25_min_match_topk": _q_bm25_min_match_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -1988,6 +2067,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_phrase_pos_topk": _SQL_BM25_PHRASE_TOPK,
         "bm25_phrase_slop_topk": _SQL_BM25_PHRASE_SLOP_TOPK,
         "bm25_snippet_spans": _SQL_BM25_SNIPPET_SPANS,
+        "bm25_min_match_topk": _SQL_BM25_MIN_MATCH_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

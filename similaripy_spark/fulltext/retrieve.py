@@ -142,13 +142,17 @@ class IndexHandle:
         query_weighted: bool = False,
         point_cutoff: int = POINT_CUTOFF,
         mode: str = "or",
+        min_match: int | None = None,
     ) -> DataFrame:
         """BM25 top-k over the opened index; physical path auto-routed.
 
         ``mode='and'`` returns only docs containing every query term
         (posting-list intersection — served by both the segment sweep and
         the term-major point path; the bucket path raises); default
-        ``'or'`` is the BM25 union ranking.
+        ``'or'`` is the BM25 union ranking. ``min_match=m`` (quorum,
+        mode='or' only) keeps docs matching at least m distinct query
+        terms — served by the segment batch scorer's match-count grid, so
+        it always routes to 'segment'.
 
         ``path`` forces 'segment' | 'bucket' | 'term_major' (parity
         testing / expert override). Weighted queries (``weights`` column)
@@ -162,7 +166,12 @@ class IndexHandle:
         if mode == "and" and path == "bucket":
             raise ValueError("mode='and' is served by the segment and "
                              "term_major paths, not 'bucket'")
-        if query_weighted:
+        if min_match is not None and path not in (None, "segment"):
+            raise ValueError(
+                "min_match is served by the segment batch scorer; "
+                f"path={path!r} does not support it"
+            )
+        if query_weighted or min_match is not None:
             path = "segment"
         elif path is None:
             # routing only needs "≤ point_cutoff?" — the limit makes the
@@ -185,6 +194,7 @@ class IndexHandle:
                 index_dir=self.index_dir,
                 weight_scheme=self._weight_scheme,
                 mode=mode,
+                min_match=min_match,
             )
         if path == "term_major":
             return term_major_topk(
@@ -271,6 +281,7 @@ def topk(
     query_weighted: bool = False,
     point_cutoff: int = POINT_CUTOFF,
     mode: str = "or",
+    min_match: int | None = None,
 ) -> DataFrame:
     """One-shot BM25 top-k over a built index (thin convenience over
     :class:`IndexHandle` — no caching, per-batch query-side idf
@@ -280,7 +291,7 @@ def topk(
         spark, index_dir, cache=False, annotate_segments=False
     ).topk(
         queries, k=k, path=path, query_weighted=query_weighted,
-        point_cutoff=point_cutoff, mode=mode,
+        point_cutoff=point_cutoff, mode=mode, min_match=min_match,
     )
 
 

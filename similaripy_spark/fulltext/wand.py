@@ -713,7 +713,7 @@ DEEP_K_CUTOFF = 512
 def _score_batch(
     idx: _ShardIndex, q_pdf: pd.DataFrame, k: int, chunk: int | None = None,
     query_weighted: bool = False, tau: np.ndarray | None = None,
-    mode: str = "or",
+    mode: str = "or", min_match: int | None = None,
 ) -> pd.DataFrame:
     """Dense-accumulator batch scorer — the distributed twin of the
     reference's SPA (s_plus.h:71-240), vectorized across a whole query
@@ -758,9 +758,19 @@ def _score_batch(
     # AND mode: a doc qualifies only when its per-cell distinct-term match
     # count reaches the query's FULL distinct term count (terms absent from
     # the index or this shard can never be matched → strict AND empties)
+    # min_match=m (quorum, mode='or'): a doc qualifies with >= m distinct
+    # matched terms — the same match-count grid AND rides on, with a
+    # constant requirement instead of the full distinct term count. A doc's
+    # postings live wholly in its shard, so the quorum (like AND) is
+    # shard-local decidable and the global merge is unchanged.
     nreq = (
         np.array([len(dict.fromkeys(t)) for t in term_lists], np.int64)
-        if mode == "and" else None
+        if mode == "and"
+        else (
+            np.full(n_q, int(min_match), np.int64)
+            if min_match is not None and min_match > 1
+            else None
+        )
     )
     all_terms = np.concatenate(term_lists)
     all_qi = np.repeat(np.arange(n_q, dtype=np.int64), qlens)
@@ -915,6 +925,7 @@ def segment_topk(
     weight_scheme: str | None = None,
     deep_paging: bool | None = None,
     mode: str = "or",
+    min_match: int | None = None,
 ) -> DataFrame:
     """queries(query_id, terms) × doc-sharded segments → global top-k
     (query_id, doc_id, score, rank).
@@ -926,6 +937,14 @@ def segment_topk(
     posting-list intersection with per-block [first_doc, max_doc] skipping
     (_score_intersect). AND is shard-local decidable (a doc's postings live
     wholly in its shard), so the global merge is unchanged.
+
+    ``min_match=m`` (quorum retrieval, Lucene's minimum_should_match):
+    with ``mode='or'``, keep only docs matching at least ``m`` DISTINCT
+    query terms — m=1 is plain OR, m=len(terms) is AND; in between is the
+    standard long-query recall/precision knob. Rides the batch scorer's
+    match-count grid (requires ``batch=True``), shard-local decidable like
+    AND. Queries with fewer than m distinct index-present terms return
+    nothing (strict quorum, matching the relational HAVING semantics).
 
     ``batch=True`` scores every query of a shard in one vectorized pass
     (fastest for large batches, exhaustive); ``batch=False`` scores
@@ -949,6 +968,20 @@ def segment_topk(
     """
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if min_match is not None:
+        if mode != "or":
+            raise ValueError(
+                "min_match only applies to mode='or' (mode='and' IS "
+                "min_match = all terms)"
+            )
+        if int(min_match) < 1:
+            raise ValueError(f"min_match must be >= 1, got {min_match}")
+        if batch is False:
+            raise ValueError(
+                "min_match requires the batch scorer (batch=True): the "
+                "quorum filter lives on its match-count grid"
+            )
+        min_match = int(min_match)
     if batch is None:
         batch = True
     if query_weighted and not batch:
@@ -1047,7 +1080,7 @@ def segment_topk(
                         q_pdf["tau"].to_numpy(np.float64)
                         if with_tau else None
                     ),
-                    mode=mode,
+                    mode=mode, min_match=min_match,
                 )
             out_q, out_d, out_s = [], [], []
             for qid, terms in zip(q_pdf["query_id"], q_pdf["terms"]):

@@ -355,3 +355,62 @@ def test_describe_index(spark, built):
     assert "segment_job" in (d.get("build_phase_ms") or {})
     with open_index(spark, built, cache=False) as h:
         assert h.describe() == d
+
+
+def test_min_match_relational_parity(spark, built):
+    """min_match=m through the engine == the relational quorum oracle
+    (HAVING count(distinct matched term) >= m); m=1 == OR ranking and
+    m=len(terms) == AND on the same queries; invalid combos are loud."""
+    from pyspark.sql import functions as F
+
+    from similaripy_spark.fulltext.weights import bm25_weights
+    from similaripy_spark.fulltext.postings import build_postings
+    from similaripy_spark.operators.topk import top_k
+
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    # exactly-3-distinct-term queries so 2-of-3 is a real quorum and the
+    # min_match=3 == AND bracket holds for every query
+    qpdf = generate_queries_pandas(200, vocab_size=VOCAB)
+    qpdf = qpdf[qpdf["terms"].map(len) >= 3].head(50).copy()
+    qpdf["terms"] = qpdf["terms"].map(lambda t: sorted(t)[:3])
+    assert len(qpdf) == 50
+    queries = spark.createDataFrame(qpdf)
+
+    def run(**kw):
+        return (
+            topk(spark, built, queries, k=10, **kw)
+            .toPandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    got = run(min_match=2)
+    w = bm25_weights(build_postings(pages))
+    qt = queries.select(
+        "query_id", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    joined = qt.join(w, "term").groupBy("query_id", "doc_id").agg(
+        F.sum("weight").alias("score"), F.count("*").alias("nmatch")
+    )
+    exp = (
+        top_k(
+            joined.filter(F.col("nmatch") >= 2)
+            .select("query_id", "doc_id", "score"),
+            10, group="query_id", order_value="score", tiebreak="doc_id",
+            keep_rank=True,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got["query_id"]) == list(exp["query_id"])
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-4)
+
+    # the quorum brackets: m=1 == plain OR, m=n_distinct == AND
+    assert run(min_match=1)[["query_id", "doc_id"]].values.tolist() == \
+        run()[["query_id", "doc_id"]].values.tolist()
+    assert run(min_match=3)[["query_id", "doc_id"]].values.tolist() == \
+        run(mode="and")[["query_id", "doc_id"]].values.tolist()
+
+    with pytest.raises(ValueError, match="min_match only applies"):
+        run(min_match=2, mode="and")
+    with pytest.raises(ValueError, match="segment batch scorer"):
+        run(min_match=2, path="term_major")
