@@ -67,13 +67,13 @@ def test_spark_submit_build_then_query(spark, tmp_path):
 
     r = subprocess.run(
         base + ["build", "--pages", pages_p, "--index", index_p,
-                "--groups", "2", "--commit", "pointer"],
+                "--groups", "2", "--commit", "pointer", "--positions"],
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     built = json.loads(r.stdout.strip().splitlines()[-1])
-    assert built["n_docs"] == 300
+    assert built["n_docs"] == 300 and built["positions"] is True
     # pointer backend really used: segments/ holds pointer objects
     assert any(
         f.endswith(".ptr.json")
@@ -90,3 +90,36 @@ def test_spark_submit_build_then_query(spark, tmp_path):
     got = spark.read.parquet(out_p)
     assert got.count() == 250  # 25 queries x k=10
     assert {"query_id", "doc_id", "score", "rank"} <= set(got.columns)
+
+    # phrase leg: first two tokens of selected docs, served from the
+    # positional sidecar built by --positions (no pages relation passed)
+    from pyspark.sql import functions as F
+
+    phrase_p = str(tmp_path / "phrase_queries")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    (
+        spark.read.parquet(pages_p)
+        .filter(F.col("doc_id") % 60 == 0)
+        .select(F.col("doc_id").alias("query_id"),
+                F.slice(toks, 1, 2).alias("terms"))
+        .filter(F.size("terms") >= 2)
+        .write.parquet(phrase_p)
+    )
+    out2_p = str(tmp_path / "phrase_results")
+    r = subprocess.run(
+        base + ["query", "--index", index_p, "--queries", phrase_p,
+                "--out", out2_p, "--k", "5", "--phrase"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ph = spark.read.parquet(out2_p)
+    assert ph.count() > 0
+    # every query's own source doc must be a phrase match for its prefix
+    qids = {row["query_id"] for row in ph.collect()}
+    assert all(
+        row["query_id"] in qids
+        for row in spark.read.parquet(phrase_p).collect()
+    )

@@ -60,6 +60,11 @@ def main(argv=None):
     )
     b.add_argument("--lang", default=None)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument(
+        "--positions", action="store_true",
+        help="also build the positional sidecar (phrase / proximity / "
+        "snippet serving without the crawl table)",
+    )
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -70,6 +75,21 @@ def main(argv=None):
     )
     q.add_argument("--out", required=True)
     q.add_argument("--k", type=int, default=10)
+    q.add_argument(
+        "--mode", choices=["or", "and"], default="or",
+        help="or: BM25 union ranking; and: posting-list intersection",
+    )
+    q.add_argument(
+        "--min-match", type=int, default=None,
+        help="quorum: keep docs matching >= m distinct query terms "
+        "(mode='or' only)",
+    )
+    q.add_argument(
+        "--phrase", action="store_true",
+        help="treat each query as an exact phrase (needs the positional "
+        "sidecar; combine with --slop for ordered-window proximity)",
+    )
+    q.add_argument("--slop", type=int, default=0)
 
     m = sub.add_parser("merge")
     m.add_argument("--indexes", nargs="+", required=True)
@@ -95,19 +115,29 @@ def main(argv=None):
                 else None
             ),
         )
-        meta = builder.build(
-            read_pages_table(spark, args.pages,
-                             snapshot_id=args.snapshot_id),
-            resume=not args.no_resume,
-        )
-        print(json.dumps({"built": args.index, **{k: meta[k] for k in ("n_docs", "n_shards", "avgdl")}}))
+        pages = read_pages_table(spark, args.pages,
+                                 snapshot_id=args.snapshot_id)
+        meta = builder.build(pages, resume=not args.no_resume)
+        if args.positions:
+            from similaripy_spark.fulltext.positional import build_positions
+
+            build_positions(pages, args.index, lang=args.lang)
+        print(json.dumps({"built": args.index, "positions": args.positions,
+                          **{k: meta[k] for k in ("n_docs", "n_shards", "avgdl")}}))
     elif args.cmd == "query":
         from similaripy_spark.fulltext.retrieve import topk
 
         queries = spark.read.parquet(args.queries)
-        # auto-routed front-end: shard list from meta.json, path chosen
-        # from batch size + index layout (segment sweep / term-major)
-        out = topk(spark, args.index, queries, k=args.k)
+        if args.phrase:
+            from similaripy_spark.fulltext.positional import phrase_topk_pos
+
+            out = phrase_topk_pos(spark, args.index, queries, k=args.k,
+                                  slop=args.slop)
+        else:
+            # auto-routed front-end: shard list from meta.json, path chosen
+            # from batch size + index layout (segment sweep / term-major)
+            out = topk(spark, args.index, queries, k=args.k, mode=args.mode,
+                       min_match=args.min_match)
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"queried": args.index, "out": args.out}))
     elif args.cmd == "merge":
