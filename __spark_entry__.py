@@ -1312,6 +1312,64 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution (operators/dedup.py dedup_components):
+    connected components over the LSH candidate-pair graph via alternating
+    large-star/small-star contraction (Kiveris et al. SoCC'14) —
+    (doc_id, component=min reachable id). Oracle: recursive CTE computing
+    min reachable label over the identical pair SQL."""
+    from similaripy_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+    )
+
+    return dedup_components(
+        minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=8, bands=4)
+    )
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    """Survivor selection over the resolved duplicate clusters
+    (dedup_keep_canonical): one doc per component (min id), unpaired docs
+    survive with n_dups = 0 — the keep-list a 100-TB dedup pass emits."""
+    from similaripy_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dedup_keep_canonical(
+        docs, minhash_lsh_pairs(docs, n_hashes=8, bands=4)
+    )
+
+
+# reach = transitive closure over the symmetrized LSH pair graph (the UNION
+# recursion deduplicates rows, so it terminates); component = min reachable
+_SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),
+  sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+  reach(node, r) AS (
+    SELECT u, u FROM sym
+    UNION
+    SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+_SQL_DEDUP_CANONICAL = f"""
+WITH comp AS ({_SQL_DEDUP_COMPONENTS}),
+  canon AS (
+    SELECT component, MIN(doc_id) AS keep_id,
+           COUNT(*) - 1 AS comp_dups
+    FROM comp GROUP BY component)
+SELECT d.doc_id, COALESCE(canon.comp_dups, 0) AS n_dups
+FROM documents d
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+LEFT JOIN canon ON canon.keep_id = d.doc_id
+WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component
+"""
+
+
 _HTML_PRE = ('<html><head><title>t</title><style>p{color:red}</style>'
              '<script>var x = 1 < 2;</script></head><body><p>')
 _HTML_POST = '</p><br/>&amp; &quot;end&quot;</body></html>'
@@ -2001,6 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "dedup_components": _q_dedup_components,
+        "dedup_canonical_docs": _q_dedup_canonical,
         # text analysis
         "extract_text": _q_extract_text,
         "token_stats": _q_token_stats,
@@ -2090,6 +2150,8 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "ngram_jaccard_pairs": _SQL_JACCARD_PAIRS,
         "simhash": _SQL_SIMHASH,
         "simhash_pairs": _SQL_SIMHASH_PAIRS,
+        "dedup_components": _SQL_DEDUP_COMPONENTS,
+        "dedup_canonical_docs": _SQL_DEDUP_CANONICAL,
         "extract_text": _SQL_EXTRACT_TEXT,
         "token_stats": _SQL_TOKEN_STATS,
         "quality_score": _SQL_QUALITY,

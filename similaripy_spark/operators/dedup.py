@@ -324,3 +324,131 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over a candidate-pair relation →
+    ``(doc_id, component)`` where ``component`` is the smallest doc id
+    reachable through the pair graph (every node in the input appears
+    exactly once; singletons never enter ``pairs`` so callers union them
+    back via :func:`dedup_keep_canonical`).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round is two
+    groupBy-min + join passes over the edge list — no per-node neighbor
+    arrays are ever materialized (hub nodes with millions of duplicates
+    stay a groupBy aggregate, not a ``collect_list``), and convergence is
+    O(log^2 n) rounds on adversarial graphs, 2–3 rounds on the near-clique
+    graphs duplicate detection actually produces. Each round ends in
+    ``localCheckpoint`` to truncate the iterative lineage; on a real
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` + reliable
+    checkpoints for executor-loss safety at very large component counts.
+
+    Exactly SQL-expressible (recursive CTE computing min reachable label),
+    so it sits under the hash-exact oracle gate like the rest of the dedup
+    family.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; connect strictly-larger neighbors to
+        # min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # direct every edge high→low, then connect each node's smaller
+        # neighbors (and itself) to the neighborhood min
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            d.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        kept = mins.select(F.col("u"), F.col("m").alias("v"))
+        return moved.union(kept).filter(F.col("u") != F.col("v")).distinct()
+
+    def _sig(e: DataFrame):
+        # order-independent edge-set checksum: exact set-equality surrogate
+        # that costs one aggregate, not an exceptAll shuffle
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        return row["n"], row["x"]
+
+    for _ in range(max_rounds):
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        if _sig(stepped) == _sig(edges):
+            edges = stepped
+            break
+        edges = stepped
+
+    # fixed point is a star forest: u → component min; roots map to
+    # themselves
+    roots = edges.select(F.col("v").alias("u")).subtract(
+        edges.select("u")
+    ).select(F.col("u").alias("doc_id"), F.col("u").alias("component"))
+    members = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    )
+    return members.union(roots).distinct()
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Survivor selection: resolve the pair graph into components and keep
+    one document per component (the smallest id — deterministic, join-free
+    tie rule). → ``(doc_id, n_dups)`` over ALL input docs: docs outside the
+    pair graph survive with ``n_dups = 0``; a component's canonical doc
+    carries ``n_dups = |component| - 1``. The components relation is tiny
+    next to a 100-TB corpus (only docs with at least one candidate pair),
+    so the survivor join broadcasts/AQE-converts."""
+    comp = dedup_components(pairs, a_col=a_col, b_col=b_col)
+    canon = comp.groupBy("component").agg(
+        F.min("doc_id").alias("keep_id"),
+        (F.count("*") - F.lit(1)).alias("n_dups"),
+    )
+    losers = comp.join(
+        canon.select("component", "keep_id"), "component"
+    ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(losers, "doc_id", "left_anti")
+        .join(
+            canon.select(F.col("keep_id").alias("doc_id"), "n_dups"),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("n_dups", F.lit(0)).alias("n_dups"))
+    )

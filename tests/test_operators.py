@@ -703,3 +703,100 @@ def test_ivfpq_recall_with_defaults(spark, embeddings, tmp_path):
     ann.ivf_build(sub.filter("vec_id < 50"), d2, n_centroids=4, iters=1)
     with pytest.raises(ValueError, match="pq_m"):
         ann.ivf_query(spark, d2, sub, k=5, method="adc")
+
+
+# ---------------------------------------------------------------------------
+# connected-components dedup clustering
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges):
+    """Union-find reference: node -> min reachable node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+
+def test_dedup_components_random_graphs(spark):
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        n_nodes = int(rng.integers(10, 60))
+        n_edges = int(rng.integers(5, 80))
+        edges = [
+            (int(rng.integers(0, n_nodes)), int(rng.integers(0, n_nodes)))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        want = _uf_components(edges)
+        got = {
+            r["doc_id"]: r["component"]
+            for r in dedup.dedup_components(_pairs_df(spark, edges)).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_dedup_components_long_chain(spark):
+    # path graph 0-1-2-...-25: worst case for naive propagation; the
+    # star-contraction rounds must still collapse it to component 0
+    edges = [(i, i + 1) for i in range(25)]
+    got = dedup.dedup_components(_pairs_df(spark, edges)).collect()
+    assert len(got) == 26
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_dedup_components_empty_and_swapped(spark):
+    empty = _pairs_df(spark, []).filter("doc_a > doc_b")
+    assert dedup.dedup_components(empty).count() == 0
+    # orientation-independent: (a,b) vs (b,a) give the same labels
+    e = [(3, 9), (9, 1), (7, 5)]
+    lab1 = {
+        (r["doc_id"], r["component"])
+        for r in dedup.dedup_components(_pairs_df(spark, e)).collect()
+    }
+    lab2 = {
+        (r["doc_id"], r["component"])
+        for r in dedup.dedup_components(
+            _pairs_df(spark, [(b, a) for a, b in e])
+        ).collect()
+    }
+    assert lab1 == lab2 == {(3, 1), (9, 1), (1, 1), (7, 5), (5, 5)}
+
+
+def test_dedup_keep_canonical(spark, dup_docs):
+    pairs = dedup.minhash_lsh_pairs(dup_docs, n_hashes=16, bands=8)
+    kept = dedup.dedup_keep_canonical(dup_docs, pairs).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    # every doc survives exactly once or is dropped; planted exact dups
+    # (doc_id+10000 copies of 0..4) must lose to their originals
+    assert kept_ids <= {r["doc_id"] for r in dup_docs.collect()}
+    for d in range(5):
+        assert d in kept_ids and (d + 10000) not in kept_ids
+    # survivor count + dup counts conserve the corpus
+    total = dup_docs.count()
+    assert len(kept) + sum(r["n_dups"] for r in kept) == total
+    # docs with no candidate pair survive with n_dups = 0
+    paired = {r["doc_a"] for r in pairs.collect()} | {
+        r["doc_b"] for r in pairs.collect()
+    }
+    for r in kept:
+        if r["doc_id"] not in paired:
+            assert r["n_dups"] == 0
