@@ -16,6 +16,8 @@ Matrix conventions used by the similarity entries:
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -261,6 +263,65 @@ def _q_bm25_index_topk(spark, sf_dir):
     ).filter(F.col("term") != "").distinct()
     exact = (
         qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
+def _q_bm25_mlt_topk(spark, sf_dir):
+    """MORE-LIKE-THIS through the index engine (IndexHandle.more_like_this):
+    seed docs become queries built from their top-10 tf×idf terms (index
+    term_stats idf, ties term-asc), ranked by BM25 OR with the seed doc
+    excluded without shorting the k. As with bm25_index_topk the selected
+    (query_id, doc_id) pairs are re-scored with exact float64 relational
+    weights over the SAME relationally re-derived term sets, so float32
+    index storage can hash-match the oracle."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.weights import bm25_weights
+    from similaripy_spark.functions.normalization import idf_expr
+
+    docs = _docs(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="entry_idx_mlt_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    seeds = docs.filter(F.col("doc_id") % 25 == 0).select("doc_id")
+    picked = (
+        retrieve.open_index(spark, d, cache=False)
+        .more_like_this(docs, seeds, k=10, max_terms=10)
+        .select("query_id", "doc_id")
+    )
+    # exact float64 re-derivation of the engine's term selection + scores
+    posts = _postings(spark, sf_dir)
+    w = bm25_weights(posts)
+    n_docs = posts.select("doc_id").distinct().count()
+    idf = posts.groupBy("term").agg(F.count("*").alias("df")).select(
+        "term",
+        idf_expr(
+            F.col("df").cast("double"), F.lit(float(n_docs)), "bm25", math.e
+        ).alias("idf"),
+    )
+    tf = posts.join(
+        seeds.select(F.col("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("query_id"), "term", "tf")
+    win = Window.partitionBy("query_id").orderBy(
+        (F.col("tf") * F.col("idf")).desc(), F.col("term").asc()
+    )
+    qterms = (
+        tf.join(idf, "term")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "term")
+    )
+    exact = (
+        qterms.join(w, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("weight").alias("score"))
     )
@@ -753,6 +814,45 @@ WITH {_SQL_POSTINGS},
   scores AS (
     SELECT q.query_id, w.doc_id, SUM(w.weight) AS score
     FROM qterms q JOIN weights w ON q.term = w.term
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+
+# more-like-this: seed docs % 25 become queries from their top-10 tf×idf
+# terms (ties term-asc); BM25 OR ranking with the seed doc excluded
+_SQL_BM25_MLT_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  idf AS (
+    SELECT s.term, ln((c.n_docs - s.df + 0.5) / (s.df + 0.5)) AS idf
+    FROM stats s CROSS JOIN corpus c),
+  seedtf AS (
+    SELECT p.doc_id AS query_id, p.term, p.tf
+    FROM postings p WHERE p.doc_id % 25 = 0),
+  picked_terms AS (
+    SELECT query_id, term FROM (
+      SELECT st.query_id, st.term,
+             ROW_NUMBER() OVER (PARTITION BY st.query_id
+                                ORDER BY st.tf * i.idf DESC, st.term ASC) AS rn
+      FROM seedtf st JOIN idf i ON st.term = i.term)
+    WHERE rn <= 10),
+  scores AS (
+    SELECT q.query_id, w.doc_id, SUM(w.weight) AS score
+    FROM picked_terms q JOIN weights w ON q.term = w.term
+    WHERE w.doc_id <> q.query_id
     GROUP BY 1, 2),
   ranked AS (
     SELECT query_id, doc_id, score,
@@ -2034,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop_topk": _q_bm25_phrase_slop_topk,
         "bm25_snippet_spans": _q_bm25_snippet_spans,
         "bm25_min_match_topk": _q_bm25_min_match_topk,
+        "bm25_mlt_topk": _q_bm25_mlt_topk,
         "bm25_weighted_topk": _q_bm25_weighted_topk,
         # normalizations (SURVEY §2 #1)
         "norm_l1_row": lambda s, d: _q_norm(s, d, "l1", 1),
@@ -2128,6 +2229,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_phrase_slop_topk": _SQL_BM25_PHRASE_SLOP_TOPK,
         "bm25_snippet_spans": _SQL_BM25_SNIPPET_SPANS,
         "bm25_min_match_topk": _SQL_BM25_MIN_MATCH_TOPK,
+        "bm25_mlt_topk": _SQL_BM25_MLT_TOPK,
         "bm25_weighted_topk": _SQL_BM25_WEIGHTED_TOPK,
         "norm_l1_row": _SQL_NORM[("l1", 1)],
         "norm_l2_row": _SQL_NORM[("l2", 1)],

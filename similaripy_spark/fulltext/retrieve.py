@@ -239,6 +239,83 @@ class IndexHandle:
             )
         return phrase_topk(self.spark, self.index_dir, pages, queries, k=k)
 
+    def more_like_this(
+        self,
+        pages: DataFrame,
+        seed_ids,
+        k: int = 10,
+        max_terms: int = 25,
+        exclude_seed: bool = True,
+    ) -> DataFrame:
+        """MORE-LIKE-THIS: use documents as queries (Lucene
+        ``MoreLikeThis`` semantics, deterministic). For each seed doc,
+        build a query from its ``max_terms`` most characteristic terms —
+        ranked by tf(t, d) × idf(t) with the index's own BM25 idf
+        (unclamped, reference semantics), ties by term ascending — then
+        run the standard BM25 OR ranking and drop the seed doc itself
+        (``exclude_seed``) without shorting the result: the engine fetches
+        k+1 and re-ranks the survivors.
+
+        Candidate-driven cost shape: only the SEED rows of ``pages`` are
+        tokenized (a broadcast semi-join prunes the crawl-table scan), the
+        per-seed tf relation is tiny, and idf comes from term_stats (V
+        rows, never postings). Out-of-vocabulary seed terms drop at the
+        idf join — they cannot retrieve anything. Returns the standard
+        (query_id=seed doc_id, doc_id, score, rank).
+        """
+        from pyspark.sql.window import Window
+
+        from similaripy_spark.fulltext.index_build import read_term_stats
+        from similaripy_spark.fulltext.tokenizer import tokenize_expr
+        from similaripy_spark.fulltext.weights import idf_table
+
+        spark = self.spark
+        if not isinstance(seed_ids, DataFrame):
+            seed_ids = spark.createDataFrame(
+                [(int(i),) for i in seed_ids], "doc_id long"
+            )
+        seeds = pages.join(
+            F.broadcast(seed_ids.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        tf = (
+            seeds.select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(tokenize_expr(F.col("text"))).alias("term"),
+            )
+            .groupBy("query_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        idf = idf_table(
+            read_term_stats(spark, self.index_dir),
+            int(self.meta["n_docs"]),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mlt").desc(), F.col("term").asc()
+        )
+        queries = (
+            tf.join(idf, "term")
+            .withColumn("mlt", F.col("tf") * F.col("idf"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_terms)
+            .groupBy("query_id")
+            .agg(F.collect_list("term").alias("terms"))
+        )
+        if not exclude_seed:
+            return self.topk(queries, k=k)
+        hits = self.topk(queries, k=k + 1).filter(
+            F.col("doc_id") != F.col("query_id")
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            hits.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
     def describe(self) -> dict:
         """Operational stats for the opened index (index_build.describe_index
         — one column-pruned metadata aggregate, no posting decode)."""
@@ -377,3 +454,21 @@ def phrase_topk(
         tiebreak="doc_id", keep_rank=True,
     )
     return out.select("query_id", "doc_id", "score", "rank")
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    pages: DataFrame,
+    seed_ids,
+    k: int = 10,
+    max_terms: int = 25,
+    exclude_seed: bool = True,
+) -> DataFrame:
+    """One-shot more-like-this over a built index (thin convenience over
+    :meth:`IndexHandle.more_like_this` — uncached, per-batch idf)."""
+    return IndexHandle(
+        spark, index_dir, cache=False, annotate_segments=False
+    ).more_like_this(
+        pages, seed_ids, k=k, max_terms=max_terms, exclude_seed=exclude_seed
+    )

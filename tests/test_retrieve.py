@@ -414,3 +414,74 @@ def test_min_match_relational_parity(spark, built):
         run(min_match=2, mode="and")
     with pytest.raises(ValueError, match="segment batch scorer"):
         run(min_match=2, path="term_major")
+
+
+def test_more_like_this(spark, built):
+    """MLT: seed docs as queries — relational twin of the term selection +
+    scoring must rank-match; the seed doc never appears; k is not shorted
+    when the seed would have ranked."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from similaripy_spark.fulltext.index_build import read_meta
+    from similaripy_spark.fulltext.postings import build_postings_sql_plan
+    from similaripy_spark.fulltext.retrieve import more_like_this, open_index
+    from similaripy_spark.fulltext.weights import bm25_weights, idf_table
+    from similaripy_spark.fulltext.postings import term_stats
+
+    pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
+    seeds = [0, 137, 500, 899]
+    k, max_terms = 10, 8
+
+    got = more_like_this(
+        spark, built, pages, seeds, k=k, max_terms=max_terms
+    ).collect()
+    assert {r["query_id"] for r in got} == set(seeds)
+    assert all(r["doc_id"] != r["query_id"] for r in got)
+    # full k results for every seed (exclusion must not short the list)
+    from collections import Counter
+
+    per_seed = Counter(r["query_id"] for r in got)
+    assert all(per_seed[s] == k for s in seeds)
+
+    # relational twin: same term selection, BM25 OR scoring, seed excluded
+    posts = build_postings_sql_plan(pages)
+    w = bm25_weights(posts)
+    n_docs = int(read_meta(built)["n_docs"])
+    idf = idf_table(term_stats(posts), n_docs)
+    tf = posts.filter(F.col("doc_id").isin(seeds)).select(
+        F.col("doc_id").alias("query_id"), "term", "tf"
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        (F.col("tf") * F.col("idf")).desc(), F.col("term").asc()
+    )
+    qterms = (
+        tf.join(idf, "term")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= max_terms)
+        .select("query_id", "term")
+    )
+    win2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in (
+            qterms.join(w, "term")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("weight").alias("score"))
+            .withColumn("rank", F.row_number().over(win2))
+            .filter(F.col("rank") <= k)
+            .collect()
+        )
+    }
+    assert {(r["query_id"], r["doc_id"], r["rank"]) for r in got} == want
+
+    # handle method with exclude_seed=False: the seed doc itself ranks
+    # (it trivially matches its own top terms)
+    with open_index(spark, built, cache=False) as h:
+        inc = h.more_like_this(
+            pages, seeds, k=k, max_terms=max_terms, exclude_seed=False
+        ).filter(F.col("doc_id") == F.col("query_id")).count()
+    assert inc == len(seeds)
