@@ -123,3 +123,17 @@ def test_spark_submit_build_then_query(spark, tmp_path):
         row["query_id"] in qids
         for row in spark.read.parquet(phrase_p).collect()
     )
+
+    # mlt leg: seed docs as queries through the CLI (comma-list seeds)
+    out3_p = str(tmp_path / "mlt_results")
+    r = subprocess.run(
+        base + ["mlt", "--index", index_p, "--pages", pages_p,
+                "--seeds", "0,60,120", "--out", out3_p, "--k", "5",
+                "--max-terms", "8"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    mlt = spark.read.parquet(out3_p)
+    assert mlt.count() == 15  # 3 seeds x k=5
+    assert mlt.filter("doc_id = query_id").count() == 0

@@ -95,6 +95,23 @@ def main(argv=None):
     m.add_argument("--indexes", nargs="+", required=True)
     m.add_argument("--out", required=True)
 
+    ml = sub.add_parser(
+        "mlt",
+        help="more-like-this: seed docs become queries from their top "
+        "tf-idf terms; the seed doc is excluded without shorting k",
+    )
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--pages", required=True,
+                    help="crawl table (only seed rows are tokenized)")
+    ml.add_argument(
+        "--seeds", required=True,
+        help="comma-separated doc ids, or a parquet path with a doc_id "
+        "column",
+    )
+    ml.add_argument("--out", required=True)
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=25)
+
     args = p.parse_args(argv)
     spark = SparkSession.builder.appName(f"index_job_{args.cmd}").getOrCreate()
 
@@ -146,6 +163,19 @@ def main(argv=None):
         meta = merge_indexes(spark, args.indexes, args.out)
         print(json.dumps({"merged": args.indexes, "out": args.out,
                           "n_docs": meta["n_docs"]}))
+    elif args.cmd == "mlt":
+        from similaripy_spark.fulltext.retrieve import more_like_this
+        from similaripy_spark.sources.iceberg import read_pages_table
+
+        pages = read_pages_table(spark, args.pages)
+        if args.seeds.replace(",", "").replace("-", "").isdigit():
+            seeds = [int(s) for s in args.seeds.split(",") if s]
+        else:
+            seeds = spark.read.parquet(args.seeds).select("doc_id")
+        out = more_like_this(spark, args.index, pages, seeds,
+                             k=args.k, max_terms=args.max_terms)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"mlt": args.index, "out": args.out}))
     spark.stop()
 
 
