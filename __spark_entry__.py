@@ -271,6 +271,78 @@ def _q_bm25_index_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_filter_topk(spark, sf_dir):
+    """FILTERED retrieval through the doc-values sidecar (docvalues.py):
+    build the index + a dictionary-encoded per-shard ``lang`` attribute
+    array, then rank ONLY docs with lang IN ('de','fr') — the predicate
+    filters at the kernel's decode choke point (wand._ShardIndex._live_mask)
+    so excluded docs never enter a candidate set; corpus stats stay
+    whole-corpus (Lucene filter-query semantics), which is exactly what
+    the SQL oracle expresses: full-corpus BM25 weights, ranking restricted
+    by an attribute join. Selected pairs are re-scored with exact float64
+    relational weights as in bm25_index_topk."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.docvalues import build_docvalues
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_dv_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_docvalues(docs, d, ["lang"])
+    picked = retrieve.open_index(spark, d, cache=False).topk(
+        queries, k=10, filter={"lang": ["de", "fr"]}
+    ).select("query_id", "doc_id")
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
+def _q_bm25_facet_counts(spark, sf_dir):
+    """FACET COUNTS over the match set (docvalues.facet_counts): for each
+    query, the number of matching live docs per ``lang`` value — the facet
+    panel next to search results. Fully relational plan: term-pushdown
+    segment scan → decoded postings ⋈ query terms → distinct match set →
+    per-shard cogroup gather of each matched doc's dictionary code →
+    partial-aggregated count ⋈ broadcast dictionary. The SQL oracle is the
+    same aggregation straight off the documents table."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.docvalues import (
+        build_docvalues,
+        facet_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_facet_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_docvalues(docs, d, ["lang"])
+    out = facet_counts(spark, queries, d, "lang")
+    return out.select(
+        "query_id", "value", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def _q_bm25_mlt_topk(spark, sf_dir):
     """MORE-LIKE-THIS through the index engine (IndexHandle.more_like_this):
     seed docs become queries built from their top-10 tf×idf terms (index
@@ -822,6 +894,52 @@ WITH {_SQL_POSTINGS},
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
 """
 
+
+# filtered retrieval: full-corpus BM25 weights (filter-query semantics —
+# idf/avgdl unchanged), ranking restricted to docs with lang IN (de, fr)
+_SQL_BM25_FILTER_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  queries AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, term FROM queries WHERE term <> ''),
+  scores AS (
+    SELECT q.query_id, w.doc_id, SUM(w.weight) AS score
+    FROM qterms q JOIN weights w ON q.term = w.term
+    JOIN documents dd ON dd.doc_id = w.doc_id AND dd.lang IN ('de', 'fr')
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+# facet counts: per query, matching docs per lang value (OR match set)
+_SQL_BM25_FACET_COUNTS = f"""
+WITH {_SQL_POSTINGS},
+  queries AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, term FROM queries WHERE term <> ''),
+  matches AS (
+    SELECT DISTINCT q.query_id, p.doc_id
+    FROM qterms q JOIN postings p ON q.term = p.term)
+SELECT m.query_id, d.lang AS value, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2
+"""
 
 # more-like-this: seed docs % 25 become queries from their top-10 tf×idf
 # terms (ties term-asc); BM25 OR ranking with the seed doc excluded
@@ -2125,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_weights": _q_tfidf_weights,
         "bm25_topk": _q_bm25_topk,
         "bm25_index_topk": _q_bm25_index_topk,
+        "bm25_filter_topk": _q_bm25_filter_topk,
+        "bm25_facet_counts": _q_bm25_facet_counts,
         "bm25_point_topk": _q_bm25_point_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_append_topk": _q_bm25_append_topk,
@@ -2215,6 +2335,8 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "tfidf_weights": _SQL_TFIDF,
         "bm25_topk": _SQL_BM25_TOPK,
         "bm25_index_topk": _SQL_BM25_TOPK,
+        "bm25_filter_topk": _SQL_BM25_FILTER_TOPK,
+        "bm25_facet_counts": _SQL_BM25_FACET_COUNTS,
         "bm25_point_topk": _SQL_BM25_TOPK,
         "bm25_and_topk": _SQL_BM25_AND_TOPK,
         # append == full build exactly, so the oracle is the plain

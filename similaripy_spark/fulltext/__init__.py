@@ -17,11 +17,19 @@ public serve surface (``retrieve``):
 * ``delete_docs(spark, index_dir, doc_ids)`` / ``compact_index`` —
   tombstone deletion with exact surviving top-k on every query path
   (kernel-level decode filtering) and a compaction rewrite that refreshes
-  corpus stats (delete.py).
+  corpus stats (delete.py);
+* ``build_docvalues(pages, index_dir, fields)`` /
+  ``topk(..., filter={field: values})`` / ``facet_counts`` — per-document
+  metadata columns for exact filtered retrieval and facet counts
+  (docvalues.py).
 """
 
 from similaripy_spark.fulltext.append import (  # noqa: F401
     append_to_index,
+)
+from similaripy_spark.fulltext.docvalues import (  # noqa: F401
+    build_docvalues,
+    facet_counts,
 )
 from similaripy_spark.fulltext.delete import (  # noqa: F401
     compact_index,

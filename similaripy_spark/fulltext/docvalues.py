@@ -1,0 +1,497 @@
+"""Doc-values sidecar: per-document metadata columns for FILTERED retrieval
+and FACET COUNTS over the fulltext index — Lucene's doc values + filter
+queries, recast for the doc-sharded Spark index.
+
+A web-scale query mix is rarely "rank the whole corpus": it is "rank the
+ENGLISH pages", "count this query's matches per source domain". Both need a
+per-document attribute readable at SCORING time. This module stores each
+low-cardinality attribute (lang, source, ...) as a dictionary-encoded
+POSITIONAL array per shard:
+
+    <index_dir>/docvalues/<field>/dict.parquet   -- code -> value (tiny)
+    <index_dir>/docvalues/<field>/codes/         -- one row per shard:
+        shard int32 | base_doc int64 | n int32 | codes binary
+        (codes = little-endian uint16 per doc offset; doc_id = base_doc +
+         offset, exactly the main index's shard mapping; code 0 = NULL /
+         doc absent — an IN-list filter never matches it, SQL semantics)
+
+Cost: 2 bytes per doc per field (dict-compressed further by parquet), built
+in ONE column-pruned pass over the crawl table — at 10^12 docs a field is
+~2 TB spread over n_shards rows, never driver- or broadcast-resident.
+
+Filtered retrieval (``segment_topk(dv_filter=...)`` /
+``IndexHandle.topk(filter=...)``) applies the predicate INSIDE the scoring
+kernel at the decode choke point (wand._ShardIndex._live_mask — the same
+place tombstones filter), so excluded docs can never enter a candidate set,
+inflate a MaxScore theta, crowd a per-shard local top-k, or match an AND
+intersection: the surviving top-k is EXACT over the filtered corpus. Stored
+block/term bounds still include excluded docs' scores — they remain valid
+(superset) upper bounds, so pruning stays exact, merely looser under very
+selective filters. Corpus statistics (idf, avgdl) deliberately stay
+WHOLE-corpus: a filter restricts the result set, not the collection —
+Lucene's filter-query semantics, and the only reading that keeps scores
+stable across filters.
+
+Delivery to the kernel needs no broadcast: each shard's codes row is
+reshaped into ONE sentinel segment row (term = ``"\\x00dv:<field>"``,
+payload in ``doc_deltas``) and unioned into the segment relation, riding
+the existing per-shard cogroup shuffle — per-shard state travels to
+exactly the task that scores that shard. The allowed-code lookup table
+(bool array the size of the field's dictionary) ships in the task closure.
+
+Facet counts (:func:`facet_counts`) are fully relational: match set =
+query terms ⋈ decoded postings (term-pushdown scan), then a per-shard
+cogroup gathers each matched doc's code from the positional array (traffic
+∝ matches + sidecar size, never corpus text), then a partial-aggregated
+``groupBy(query_id, value).count()``.
+
+Staleness: ``_meta.json`` pins the main index's (n_epochs, n_docs); a
+sidecar older than the index (``append_to_index`` grows both) raises
+:class:`StaleDocValuesError` instead of silently mislabeling appended docs.
+
+No similaripy counterpart (the reference scores bare CSR matrices —
+similaripy/normalization.py has no notion of document attributes); this is
+engine-extension surface in the same category as deletion and append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from similaripy_spark.fulltext.commit import (
+    LocalFSCommitProtocol,
+    resolve_artifact,
+)
+from similaripy_spark.fulltext.index_build import read_meta
+
+#: sentinel term prefix for doc-values rows unioned into a segment relation
+#: ("\\x00" sorts before every real token and can never be produced by the
+#: tokenizer, whose tokens are [a-z0-9]+ runs)
+DV_TERM_PREFIX = "\x00dv:"
+
+#: uint16 codes; 0 is reserved for NULL / doc-absent
+MAX_CARDINALITY = 65534
+
+CODES_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("base_doc", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("codes", T.BinaryType(), False),
+    ]
+)
+
+
+class StaleDocValuesError(RuntimeError):
+    """The docvalues sidecar predates the index's current epoch/corpus."""
+
+
+def _dv_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "docvalues")
+
+
+def _field_dir(index_dir: str, field: str) -> str:
+    return resolve_artifact(os.path.join(_dv_dir(index_dir), field))
+
+
+def build_docvalues(
+    pages: DataFrame,
+    index_dir: str,
+    fields,
+    id_col: str = "doc_id",
+    max_cardinality: int = MAX_CARDINALITY,
+) -> dict:
+    """Build (or rebuild) the doc-values sidecar for ``fields`` of
+    ``pages``. One column-pruned pass per field: dictionary job (distinct
+    values — a partial-aggregated shuffle of at most ``max_cardinality``
+    rows), then codes job (broadcast dict join + one hash repartition by
+    the MAIN index's shard mapping into dense per-shard uint16 arrays).
+    Atomic stage→commit publish per field; ``_meta.json`` pins the index
+    epoch. Idempotent — a rebuild is one pointer swap per field."""
+    spark = pages.sparkSession
+    meta = read_meta(index_dir)
+    shard_size = int(meta["shard_size"])
+    commit = LocalFSCommitProtocol()
+    field_meta = {}
+    for field in fields:
+        vals = [
+            r[0]
+            for r in (
+                pages.select(F.col(field).cast("string"))
+                .filter(F.col(field).isNotNull())
+                .distinct()
+                .limit(max_cardinality + 1)
+                .collect()
+            )
+        ]
+        if len(vals) > max_cardinality:
+            raise ValueError(
+                f"field {field!r} exceeds {max_cardinality} distinct "
+                "values — doc-values dictionaries are for low-cardinality "
+                "attributes (lang, source, content-type); bucket or hash "
+                "the column at build time for high-cardinality use"
+            )
+        vals = sorted(vals)
+        code_df = spark.createDataFrame(
+            [(v, i + 1) for i, v in enumerate(vals)],
+            T.StructType(
+                [
+                    T.StructField("__dv_value", T.StringType(), False),
+                    T.StructField("__dv_code", T.IntegerType(), False),
+                ]
+            ),
+        )
+        coded = (
+            pages.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(field).cast("string").alias("__dv_value"),
+            )
+            .join(F.broadcast(code_df), "__dv_value", "left")
+            .select(
+                (F.col("doc_id") / shard_size).cast("int").alias("shard"),
+                (F.col("doc_id") % shard_size).cast("int").alias("off"),
+                F.coalesce(F.col("__dv_code"), F.lit(0)).alias("code"),
+            )
+        )
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            arr = np.zeros(shard_size, np.uint16)
+            arr[pdf["off"].to_numpy(np.int64)] = pdf["code"].to_numpy(
+                np.uint16
+            )
+            return pd.DataFrame(
+                {
+                    "shard": np.array([shard], np.int32),
+                    "base_doc": np.array(
+                        [shard * shard_size], np.int64
+                    ),
+                    "n": np.array([len(pdf)], np.int32),
+                    "codes": [arr.tobytes()],
+                }
+            )
+
+        out = os.path.join(_dv_dir(index_dir), field)
+        staged = commit.stage_path(out)
+        coded.groupBy("shard").applyInPandas(
+            pack, schema=CODES_SCHEMA
+        ).write.mode("overwrite").parquet(os.path.join(staged, "codes"))
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "code": pa.array(
+                        range(1, len(vals) + 1), type=pa.int32()
+                    ),
+                    "value": pa.array(vals, type=pa.string()),
+                }
+            ),
+            os.path.join(staged, "dict.parquet"),
+        )
+        commit.commit_dir(staged, out)
+        field_meta[field] = {"cardinality": len(vals)}
+    side_meta = {
+        "n_epochs": int(meta.get("n_epochs", 1)),
+        "n_docs": int(meta["n_docs"]),
+        "shard_size": shard_size,
+    }
+    prior = docvalues_meta(index_dir) or {}
+    merged_fields = dict(prior.get("field_meta", {}))
+    merged_fields.update(field_meta)
+    side_meta["field_meta"] = merged_fields
+    side_meta["fields"] = sorted(merged_fields)
+    os.makedirs(_dv_dir(index_dir), exist_ok=True)
+    tmp = os.path.join(_dv_dir(index_dir), "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(side_meta, f)
+    os.replace(tmp, os.path.join(_dv_dir(index_dir), "_meta.json"))
+    return side_meta
+
+
+def docvalues_meta(index_dir: str) -> dict | None:
+    p = os.path.join(_dv_dir(index_dir), "_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def has_docvalues(index_dir: str, field: str) -> bool:
+    meta = docvalues_meta(index_dir)
+    return bool(meta) and field in meta.get("fields", [])
+
+
+def check_docvalues_fresh(index_dir: str, fields) -> dict:
+    """Raise :class:`StaleDocValuesError` when the sidecar is missing a
+    requested field or predates the index's epoch/corpus size. Returns the
+    sidecar meta when fresh."""
+    side = docvalues_meta(index_dir)
+    if side is None:
+        raise StaleDocValuesError(
+            f"no docvalues sidecar under {index_dir}/docvalues — run "
+            "docvalues.build_docvalues(pages, index_dir, fields) first"
+        )
+    missing = [f for f in fields if f not in side.get("fields", [])]
+    if missing:
+        raise StaleDocValuesError(
+            f"docvalues sidecar has no field(s) {missing} (built: "
+            f"{side.get('fields')}) — rebuild with build_docvalues"
+        )
+    meta = read_meta(index_dir)
+    cur = (int(meta.get("n_epochs", 1)), int(meta["n_docs"]))
+    got = (int(side.get("n_epochs", 1)), int(side.get("n_docs", -1)))
+    if got != cur:
+        raise StaleDocValuesError(
+            f"docvalues sidecar built at epoch/docs {got} but the index "
+            f"is at {cur} (append_to_index does not rewrite sidecars) — "
+            "rebuild with docvalues.build_docvalues"
+        )
+    return side
+
+
+def load_dict(index_dir: str, field: str) -> list:
+    """code i+1 -> values[i]; driver-side pyarrow read (tiny by the
+    cardinality contract)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(_field_dir(index_dir, field), "dict.parquet")
+    )
+    order = np.argsort(t["code"].to_numpy())
+    return [t["value"][int(i)].as_py() for i in order]
+
+
+def read_codes(spark: SparkSession, index_dir: str, field: str) -> DataFrame:
+    return spark.read.schema(CODES_SCHEMA).parquet(
+        os.path.join(_field_dir(index_dir, field), "codes")
+    )
+
+
+def build_lut(index_dir: str, field: str, values) -> np.ndarray:
+    """Allowed-code lookup: bool array of size cardinality+1. Code 0
+    (NULL / absent doc) never matches, and requested values missing from
+    the dictionary simply match nothing — IN-list semantics."""
+    vals = load_dict(index_dir, field)
+    lut = np.zeros(len(vals) + 1, bool)
+    want = {str(v) for v in values}
+    for i, v in enumerate(vals):
+        if v in want:
+            lut[i + 1] = True
+    return lut
+
+
+def sentinel_segments(
+    spark: SparkSession, index_dir: str, field: str, like: DataFrame
+) -> DataFrame:
+    """The field's per-shard codes reshaped into segment-schema sentinel
+    rows (term = DV_TERM_PREFIX + field, codes in ``doc_deltas``), with
+    every extra column of ``like`` (group, idf, ...) null-filled so a
+    ``unionByName`` is exact. One row per shard."""
+    dv = read_codes(spark, index_dir, field).select(
+        F.col("shard"),
+        F.lit(DV_TERM_PREFIX + field).alias("term"),
+        F.lit(-1).cast("int").alias("block_id"),
+        F.col("n"),
+        F.col("base_doc").alias("first_doc"),
+        (F.col("base_doc") + F.length("codes") / 2 - 1)
+        .cast("long")
+        .alias("max_doc"),
+        F.lit(0.0).cast("float").alias("max_score"),
+        F.lit(0.0).cast("float").alias("min_score"),
+        F.col("codes").alias("doc_deltas"),
+        F.lit(bytearray()).cast("binary").alias("tfs"),
+        F.lit(bytearray()).cast("binary").alias("weights"),
+    )
+    for f_ in like.schema.fields:
+        if f_.name not in dv.columns:
+            dv = dv.withColumn(
+                f_.name, F.lit(None).cast(f_.dataType)
+            )
+    return dv.select(*like.columns)
+
+
+def resolve_filter(index_dir: str, dv_filter: dict) -> dict:
+    """{field: values} -> {sentinel_term: lut}; validates freshness."""
+    if not isinstance(dv_filter, dict) or not dv_filter:
+        raise ValueError(
+            "dv_filter must be a non-empty dict {field: [values...]}, got "
+            f"{dv_filter!r}"
+        )
+    check_docvalues_fresh(index_dir, list(dv_filter))
+    return {
+        DV_TERM_PREFIX + field: build_lut(index_dir, field, values)
+        for field, values in dv_filter.items()
+    }
+
+
+def split_dv_rows(seg_pdf: pd.DataFrame, dv_luts: dict):
+    """Pop the sentinel rows out of a shard's segment frame → (clean
+    frame, [(base_doc, codes uint16, lut), ...]). Raises when a filter
+    field's sentinel row is missing for a shard that has postings — a
+    missing row means the sidecar and segment relations went out of sync
+    (never silently rank unfiltered)."""
+    is_dv = seg_pdf["term"].str.startswith(DV_TERM_PREFIX, na=False)
+    if not is_dv.any():
+        if dv_luts:
+            raise StaleDocValuesError(
+                "dv_filter is active but this shard's segment rows carry "
+                "no doc-values sentinel — sidecar/segment relation mismatch"
+            )
+        return seg_pdf, []
+    dv_rows = seg_pdf[is_dv]
+    clean = seg_pdf[~is_dv]
+    dv = []
+    for sent_term, lut in dv_luts.items():
+        hit = dv_rows[dv_rows["term"] == sent_term]
+        if len(hit) == 0:
+            if len(clean) == 0:
+                continue
+            raise StaleDocValuesError(
+                f"no doc-values sentinel for {sent_term[len(DV_TERM_PREFIX):]!r} "
+                "in a shard that has postings"
+            )
+        r = hit.iloc[0]
+        codes = np.frombuffer(r["doc_deltas"], dtype=np.uint16)
+        dv.append((int(r["first_doc"]), codes, lut))
+    return clean, dv
+
+
+def facet_counts(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    field: str,
+    mode: str = "or",
+    term_pushdown_cap: int = 10000,
+) -> DataFrame:
+    """Per-query match counts grouped by a doc-values field →
+    (query_id, value, n_docs) — the facet panel next to search results.
+
+    Fully relational plan: (1) the query batch's DISTINCT terms filter the
+    segment scan (literal ``isin`` under ``term_pushdown_cap`` so the
+    predicate reaches the parquet row-group stats; a broadcast semi-join
+    above it), (2) decoded postings ⋈ query terms → the DISTINCT
+    (query_id, doc_id) match set (``mode='and'`` keeps docs matching every
+    distinct query term — a HAVING on the distinct-term count),
+    (3) tombstones anti-joined, (4) a per-shard cogroup gathers each
+    matched doc's uint16 code from the positional array (traffic ∝ matches
+    + sidecar bytes, never corpus text), (5) partial-aggregated
+    ``groupBy(query_id, code).count()`` ⋈ the broadcast dictionary.
+
+    Corpus-stat semantics match filtered retrieval: counts are over the
+    LIVE corpus (tombstones excluded), values NULL for docs with no
+    dictionary entry."""
+    from similaripy_spark.fulltext.index_build import read_segments
+    from similaripy_spark.fulltext.index_merge import decode_segments
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    check_docvalues_fresh(index_dir, [field])
+    meta = read_meta(index_dir)
+    shard_size = int(meta["shard_size"])
+
+    from similaripy_spark.fulltext.retrieve import _ensure_terms
+
+    queries = _ensure_terms(queries)
+    qterms = (
+        queries.select(
+            "query_id", F.explode("terms").alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    seg = read_segments(spark, index_dir)
+    terms = [
+        r[0]
+        for r in qterms.select("term")
+        .distinct()
+        .limit(term_pushdown_cap + 1)
+        .collect()
+    ]
+    if len(terms) <= term_pushdown_cap:
+        seg = seg.filter(F.col("term").isin(terms))
+    else:
+        seg = seg.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        )
+    posted = decode_segments(seg).select("term", "doc_id")
+    matches = qterms.join(posted, "term").select("query_id", "doc_id")
+    if mode == "and":
+        need = qterms.groupBy("query_id").agg(
+            F.count("*").alias("__need")
+        )
+        matches = (
+            matches.groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("__got"))
+            .join(need, "query_id")
+            .filter(F.col("__got") == F.col("__need"))
+            .select("query_id", "doc_id")
+        )
+    else:
+        matches = matches.distinct()
+    if meta.get("n_tombstone_epochs"):
+        from similaripy_spark.fulltext.delete import read_tombstones
+
+        matches = matches.join(
+            read_tombstones(spark, index_dir), "doc_id", "left_anti"
+        )
+    matches = matches.withColumn(
+        "shard", (F.col("doc_id") / shard_size).cast("int")
+    )
+    dv = read_codes(spark, index_dir, field)
+
+    def gather(m_pdf: pd.DataFrame, dv_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(m_pdf) == 0 or len(dv_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "code": pd.Series(dtype="int32"),
+                }
+            )
+        codes = np.frombuffer(dv_pdf["codes"].iloc[0], dtype=np.uint16)
+        base = int(dv_pdf["base_doc"].iloc[0])
+        docs = m_pdf["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "query_id": m_pdf["query_id"].to_numpy(np.int64),
+                "code": codes[docs - base].astype(np.int32),
+            }
+        )
+
+    gathered = (
+        matches.groupBy("shard")
+        .cogroup(dv.groupBy("shard"))
+        .applyInPandas(
+            gather,
+            schema=T.StructType(
+                [
+                    T.StructField("query_id", T.LongType(), False),
+                    T.StructField("code", T.IntegerType(), False),
+                ]
+            ),
+        )
+    )
+    dict_df = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(load_dict(index_dir, field))],
+        T.StructType(
+            [
+                T.StructField("code", T.IntegerType(), False),
+                T.StructField("value", T.StringType(), False),
+            ]
+        ),
+    )
+    return (
+        gathered.groupBy("query_id", "code")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(dict_df), "code", "left")
+        .select("query_id", "value", "n_docs")
+    )

@@ -143,8 +143,17 @@ class IndexHandle:
         point_cutoff: int = POINT_CUTOFF,
         mode: str = "or",
         min_match: int | None = None,
+        filter: dict | None = None,
     ) -> DataFrame:
         """BM25 top-k over the opened index; physical path auto-routed.
+
+        ``filter={field: [values...]}`` restricts ranking to docs whose
+        doc-values attribute matches (docvalues.build_docvalues sidecar;
+        AND across fields, IN within a field). Corpus stats stay
+        whole-corpus (Lucene filter-query semantics); the surviving top-k
+        is exact. Served by the segment path — the per-shard sentinel
+        delivery is doc-sharded by construction — so a filter always
+        routes there.
 
         ``mode='and'`` returns only docs containing every query term
         (posting-list intersection — served by both the segment sweep and
@@ -171,7 +180,12 @@ class IndexHandle:
                 "min_match is served by the segment batch scorer; "
                 f"path={path!r} does not support it"
             )
-        if query_weighted or min_match is not None:
+        if filter is not None and path not in (None, "segment"):
+            raise ValueError(
+                "filter is served by the segment path (per-shard "
+                f"doc-values delivery); path={path!r} does not support it"
+            )
+        if query_weighted or min_match is not None or filter is not None:
             path = "segment"
         elif path is None:
             # routing only needs "≤ point_cutoff?" — the limit makes the
@@ -195,6 +209,7 @@ class IndexHandle:
                 weight_scheme=self._weight_scheme,
                 mode=mode,
                 min_match=min_match,
+                dv_filter=filter,
             )
         if path == "term_major":
             return term_major_topk(
@@ -359,6 +374,7 @@ def topk(
     point_cutoff: int = POINT_CUTOFF,
     mode: str = "or",
     min_match: int | None = None,
+    filter: dict | None = None,
 ) -> DataFrame:
     """One-shot BM25 top-k over a built index (thin convenience over
     :class:`IndexHandle` — no caching, per-batch query-side idf
@@ -369,6 +385,7 @@ def topk(
     ).topk(
         queries, k=k, path=path, query_weighted=query_weighted,
         point_cutoff=point_cutoff, mode=mode, min_match=min_match,
+        filter=filter,
     )
 
 

@@ -98,10 +98,15 @@ class _ShardIndex:
     """
 
     def __init__(self, seg: pd.DataFrame, idf: dict | None = None,
-                 raw: dict | None = None, tomb=None):
+                 raw: dict | None = None, tomb=None, dv=None):
         self._idf = idf
         self._raw = raw
         self._tomb = tomb if tomb is not None and len(tomb) else None
+        # dv: [(base_doc, codes uint16 array, allowed-code bool lut), ...]
+        # — one entry per active doc-values filter field (docvalues.py).
+        # Applied in _live_mask (the decode choke point), so every scorer
+        # is exact over the filtered corpus, same argument as tombstones.
+        self._dv = dv if dv else None
         self._bs_up = self._bs_dn = 1.0
         if raw is not None:
             if idf is None:
@@ -209,14 +214,22 @@ class _ShardIndex:
         return docs, weights
 
     def _live_mask(self, docs: np.ndarray) -> "np.ndarray | None":
-        """Boolean keep-mask against the sorted tombstone set, or None when
-        nothing in ``docs`` is deleted (the common case — skip the copy)."""
-        if self._tomb is None or len(docs) == 0:
+        """Boolean keep-mask against the sorted tombstone set AND any
+        active doc-values filters, or None when everything survives (the
+        common case — skip the copy)."""
+        if len(docs) == 0:
             return None
-        pos = np.searchsorted(self._tomb, docs)
-        pos[pos == len(self._tomb)] = 0
-        keep = self._tomb[pos] != docs
-        return None if keep.all() else keep
+        keep = None
+        if self._tomb is not None:
+            pos = np.searchsorted(self._tomb, docs)
+            pos[pos == len(self._tomb)] = 0
+            k = self._tomb[pos] != docs
+            keep = k if not k.all() else None
+        if self._dv is not None:
+            for base, codes, lut in self._dv:
+                k = lut[codes[docs - base]]
+                keep = k if keep is None else (keep & k)
+        return None if keep is None or keep.all() else keep
 
     def decode_blocks(self, term, block_mask: np.ndarray | None = None):
         """→ (docs int64 asc, weights float64) for selected blocks; weights
@@ -926,9 +939,19 @@ def segment_topk(
     deep_paging: bool | None = None,
     mode: str = "or",
     min_match: int | None = None,
+    dv_filter: dict | None = None,
 ) -> DataFrame:
     """queries(query_id, terms) × doc-sharded segments → global top-k
     (query_id, doc_id, score, rank).
+
+    ``dv_filter={field: [values...]}`` restricts ranking to documents whose
+    doc-values attribute is IN the list (AND across fields) — Lucene
+    filter-query semantics: corpus statistics (idf/avgdl) stay
+    whole-corpus, the surviving top-k is EXACT over the filtered set. The
+    predicate is applied at the decode choke point inside the kernel
+    (docvalues.py), delivered per shard as sentinel segment rows riding
+    the existing cogroup — no broadcast of corpus-sized state. Requires
+    ``index_dir`` with a fresh docvalues sidecar (build_docvalues).
 
     ``mode='or'`` (default) ranks any doc matching ≥1 query term (the BM25
     union semantics of the reference's sparse dot products); ``mode='and'``
@@ -1016,6 +1039,23 @@ def segment_topk(
             )
         raw_params = _raw_params_from_meta(meta)
     tomb = _tomb_for(index_dir, meta)
+    dv_luts = None
+    if dv_filter is not None:
+        if index_dir is None:
+            raise ValueError(
+                "dv_filter needs index_dir (the docvalues sidecar lives "
+                "beside the index)"
+            )
+        from similaripy_spark.fulltext import docvalues as _dvmod
+
+        dv_luts = _dvmod.resolve_filter(index_dir, dv_filter)
+        base_segments = segments
+        for field in dv_filter:
+            segments = segments.unionByName(
+                _dvmod.sentinel_segments(
+                    spark, index_dir, field, base_segments
+                )
+            )
     # segments pre-annotated with idf (segments_with_idf — the serve path)
     # need no per-batch query-side annotation: the kernel reads the idf
     # straight off the shard's own rows
@@ -1061,6 +1101,19 @@ def segment_topk(
                      "doc_id": pd.Series(dtype="int64"),
                      "score": pd.Series(dtype="float64")}
                 )
+            dv = None
+            if dv_luts:
+                from similaripy_spark.fulltext.docvalues import (
+                    split_dv_rows,
+                )
+
+                seg_pdf, dv = split_dv_rows(seg_pdf, dv_luts)
+                if len(seg_pdf) == 0:
+                    return pd.DataFrame(
+                        {"query_id": pd.Series(dtype="int64"),
+                         "doc_id": pd.Series(dtype="int64"),
+                         "score": pd.Series(dtype="float64")}
+                    )
             if not factored:
                 idf = None
             elif seg_has_idf:
@@ -1072,7 +1125,9 @@ def segment_topk(
                 ))
             else:
                 idf = _idf_map_from_pdf(q_pdf["terms"], q_pdf["idfs"])
-            idx = _ShardIndex(seg_pdf, idf=idf, raw=raw_params, tomb=tomb)
+            idx = _ShardIndex(
+                seg_pdf, idf=idf, raw=raw_params, tomb=tomb, dv=dv
+            )
             if batch:
                 return _score_batch(
                     idx, q_pdf, k_emit, query_weighted=query_weighted,

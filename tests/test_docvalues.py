@@ -1,0 +1,282 @@
+"""Doc-values sidecar (fulltext/docvalues.py): filtered retrieval + facets.
+
+Contract (docvalues.py docstring): a ``dv_filter`` restricts ranking to
+docs whose attribute is IN the list (AND across fields) with EXACT
+surviving top-k — the predicate filters at the kernel's decode choke
+point, so excluded docs can never enter a candidate set or crowd a local
+top-k. Corpus stats stay whole-corpus (Lucene filter-query semantics),
+which is exactly the relational oracle used below and in the
+bm25_filter_topk gate entry: weights over the full corpus, ranking
+restricted by an attribute join. Facet counts are match-set aggregations
+grouped by the attribute; their oracle is fully relational too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from similaripy_spark.fulltext.docvalues import (
+    StaleDocValuesError,
+    build_docvalues,
+    build_lut,
+    facet_counts,
+    load_dict,
+)
+from similaripy_spark.fulltext.delete import delete_docs
+from similaripy_spark.fulltext.index_build import (
+    IndexBuilder,
+    read_segments,
+)
+from similaripy_spark.fulltext.postings import build_postings
+from similaripy_spark.fulltext.query import bm25_topk
+from similaripy_spark.fulltext.retrieve import open_index
+from similaripy_spark.fulltext.wand import segment_topk
+from similaripy_spark.fulltext.weights import bm25_weights
+from similaripy_spark.sources.pages import generate_pages
+
+N_DOCS = 1500
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # lang: 'xx' for doc_id % 20 == 0, else 'en' (sources/pages.py);
+    # bucket: a second derived attribute for multi-field AND tests
+    pages = (
+        generate_pages(spark, N_DOCS, vocab_size=400, partitions=8)
+        .withColumn(
+            "bucket", F.concat(F.lit("b"), (F.col("doc_id") % 3))
+        )
+        .persist()
+    )
+    pages.count()
+    yield pages
+    pages.unpersist()
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("query_id"),
+        F.split(F.col("text"), " ").alias("terms"),
+    )
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dv") / "idx")
+    IndexBuilder(d, n_groups=3, shard_size=256).build(corpus)
+    build_docvalues(corpus, d, ["lang", "bucket"])
+    return d
+
+
+def _rows(df):
+    return [
+        (r.query_id, r.doc_id, round(r.score, 9))
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+
+
+def _assert_same_ranking(got, want, rtol=1e-4):
+    assert [(q, d) for q, d, _ in got] == [(q, d) for q, d, _ in want]
+    assert np.allclose(
+        [s for _, _, s in got], [s for _, _, s in want], rtol=rtol
+    )
+    assert len(got) > 0
+
+
+def _oracle(corpus, queries, keep_expr, k=5):
+    """Whole-corpus weights, ranking restricted to docs matching the
+    attribute predicate — a doc's score involves only its own postings,
+    so filtering weight rows by doc_id equals filtering results."""
+    keep = corpus.filter(keep_expr).select("doc_id")
+    w = bm25_weights(build_postings(corpus)).join(keep, "doc_id", "semi")
+    return _rows(bm25_topk(w, queries, k=k))
+
+
+def test_dict_and_lut(indexed):
+    assert load_dict(indexed, "lang") == ["en", "xx"]
+    lut = build_lut(indexed, "lang", ["xx"])
+    assert lut.tolist() == [False, False, True]
+    # unknown values match nothing, code 0 (NULL) never matches
+    assert build_lut(indexed, "lang", ["nope"]).any() == False  # noqa: E712
+
+
+def test_filtered_topk_exact_vs_relational(spark, corpus, queries, indexed):
+    want = _oracle(corpus, queries, F.col("lang") == "xx")
+    seg = read_segments(spark, indexed)
+    got = _rows(
+        segment_topk(seg, queries, k=5, index_dir=indexed,
+                     dv_filter={"lang": ["xx"]})
+    )
+    _assert_same_ranking(got, want)
+
+
+def test_filtered_point_path_and_and_mode(spark, corpus, queries, indexed):
+    seg = read_segments(spark, indexed)
+    want = _oracle(corpus, queries, F.col("lang") == "xx")
+    got_point = _rows(
+        segment_topk(seg, queries, k=5, index_dir=indexed, batch=False,
+                     prune=True, dv_filter={"lang": ["xx"]})
+    )
+    _assert_same_ranking(got_point, want)
+    # AND mode composes with the filter: relational twin = docs matching
+    # every query term, restricted to the attribute
+    from similaripy_spark.fulltext.query import bm25_topk as _q
+
+    keep = corpus.filter(F.col("lang") == "en").select("doc_id")
+    w = bm25_weights(build_postings(corpus)).join(keep, "doc_id", "semi")
+    qt = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    need = qt.groupBy("query_id").agg(F.count("*").alias("need"))
+    scored = (
+        qt.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"), F.count("*").alias("got"))
+        .join(need, "query_id")
+        .filter(F.col("got") == F.col("need"))
+    )
+    from similaripy_spark.operators.topk import top_k
+
+    want_and = _rows(
+        top_k(scored, 5, group="query_id", order_value="score",
+              tiebreak="doc_id", keep_rank=True)
+    )
+    got_and = _rows(
+        segment_topk(seg, queries, k=5, index_dir=indexed, mode="and",
+                     dv_filter={"lang": ["en"]})
+    )
+    _assert_same_ranking(got_and, want_and)
+
+
+def test_multi_field_and_in_list(spark, corpus, queries, indexed):
+    want = _oracle(
+        corpus, queries,
+        (F.col("lang") == "en") & F.col("bucket").isin("b0", "b2"),
+    )
+    got = _rows(
+        open_index(spark, indexed, cache=False).topk(
+            queries, k=5, filter={"lang": ["en"], "bucket": ["b0", "b2"]}
+        )
+    )
+    _assert_same_ranking(got, want)
+
+
+def test_filter_composes_with_tombstones(
+    spark, corpus, queries, tmp_path_factory
+):
+    d = str(tmp_path_factory.mktemp("dvtomb") / "idx")
+    IndexBuilder(d, n_groups=2, shard_size=256).build(corpus)
+    build_docvalues(corpus, d, ["lang"])
+    deleted = [i for i in range(N_DOCS) if i % 7 == 2]
+    delete_docs(spark, d, deleted)
+    want = _oracle(
+        corpus, queries,
+        (F.col("lang") == "en") & ~F.col("doc_id").isin(deleted),
+    )
+    got = _rows(
+        open_index(spark, d, cache=False).topk(
+            queries, k=5, filter={"lang": ["en"]}
+        )
+    )
+    _assert_same_ranking(got, want)
+
+
+def test_empty_and_unknown_filters(spark, queries, indexed):
+    handle = open_index(spark, indexed, cache=False)
+    assert handle.topk(
+        queries, k=5, filter={"lang": ["nope"]}
+    ).count() == 0
+    with pytest.raises(ValueError):
+        handle.topk(queries, k=5, filter={})
+    with pytest.raises(StaleDocValuesError):
+        handle.topk(queries, k=5, filter={"missing_field": ["x"]})
+    with pytest.raises(ValueError):
+        handle.topk(queries, k=5, filter={"lang": ["en"]},
+                    path="term_major")
+
+
+def test_stale_after_append_raises(spark, corpus, queries, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dvstale") / "idx")
+    base = corpus.filter(F.col("doc_id") < 1024)
+    delta = corpus.filter(F.col("doc_id") >= 1024)
+    IndexBuilder(
+        d, n_groups=2, shard_size=256, weight_scheme="raw"
+    ).build(base)
+    build_docvalues(base, d, ["lang"])
+    from similaripy_spark.fulltext.append import append_to_index
+
+    append_to_index(spark, d, delta)
+    with pytest.raises(StaleDocValuesError):
+        open_index(spark, d, cache=False).topk(
+            queries, k=5, filter={"lang": ["en"]}
+        ).count()
+    # rebuild over the grown corpus heals it
+    build_docvalues(corpus, d, ["lang"])
+    want = _oracle(corpus, queries, F.col("lang") == "xx")
+    got = _rows(
+        open_index(spark, d, cache=False).topk(
+            queries, k=5, filter={"lang": ["xx"]}
+        )
+    )
+    _assert_same_ranking(got, want)
+
+
+def _facet_twin(corpus, queries, mode="or", drop_ids=None):
+    """Relational facet oracle straight off the corpus tables."""
+    qt = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    posts = build_postings(corpus).select("term", "doc_id")
+    m = qt.join(posts, "term").select("query_id", "doc_id")
+    if mode == "and":
+        need = qt.groupBy("query_id").agg(F.count("*").alias("need"))
+        m = (
+            m.groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("got"))
+            .join(need, "query_id")
+            .filter(F.col("got") == F.col("need"))
+            .select("query_id", "doc_id")
+        )
+    else:
+        m = m.distinct()
+    if drop_ids:
+        m = m.filter(~F.col("doc_id").isin(drop_ids))
+    return {
+        (r.query_id, r.lang): r.n
+        for r in m.join(
+            corpus.select("doc_id", "lang"), "doc_id"
+        ).groupBy("query_id", "lang").agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_facet_counts_match_relational(spark, corpus, queries, indexed,
+                                       mode):
+    got = {
+        (r.query_id, r.value): r.n_docs
+        for r in facet_counts(
+            spark, queries, indexed, "lang", mode=mode
+        ).collect()
+    }
+    assert got == _facet_twin(corpus, queries, mode=mode)
+    assert len(got) > 0
+
+
+def test_facet_counts_exclude_tombstones(
+    spark, corpus, queries, tmp_path_factory
+):
+    d = str(tmp_path_factory.mktemp("dvfacet") / "idx")
+    IndexBuilder(d, n_groups=2, shard_size=256).build(corpus)
+    build_docvalues(corpus, d, ["lang"])
+    deleted = [i for i in range(N_DOCS) if i % 5 == 1]
+    delete_docs(spark, d, deleted)
+    got = {
+        (r.query_id, r.value): r.n_docs
+        for r in facet_counts(spark, queries, d, "lang").collect()
+    }
+    assert got == _facet_twin(corpus, queries, drop_ids=deleted)
