@@ -313,6 +313,46 @@ def _q_bm25_filter_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_not_topk(spark, sf_dir):
+    """MUST_NOT exclusion (wand._score_batch not_terms): queries carry
+    positive terms (tokens 1-3) and NOT terms (token 4); docs containing
+    any NOT term are excluded from that query's ranking, survivors'
+    scores unchanged — Lucene's BooleanQuery MUST_NOT. The SQL oracle is
+    an anti-join of the BM25 score relation against the NOT-term match
+    set. Selected pairs re-scored with exact float64 relational weights
+    as in bm25_index_topk."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), "[^a-z0-9]+")
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(toks, 1, 3).alias("terms"),
+        F.slice(toks, 4, 1).alias("not_terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_not_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    picked = retrieve.open_index(spark, d, cache=False).topk(
+        queries, k=10
+    ).select("query_id", "doc_id")
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 def _q_bm25_facet_counts(spark, sf_dir):
     """FACET COUNTS over the match set (docvalues.facet_counts): for each
     query, the number of matching live docs per ``lang`` value — the facet
@@ -922,6 +962,49 @@ WITH {_SQL_POSTINGS},
     SELECT query_id, doc_id, score,
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM scores)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+# MUST_NOT: BM25 scores anti-joined against the NOT-term match set
+_SQL_BM25_NOT_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  qtok AS (
+    SELECT doc_id AS query_id,
+           regexp_split_to_array(lower(text), '[^a-z0-9]+') AS toks
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (
+    SELECT DISTINCT query_id, t.term
+    FROM (SELECT query_id, unnest(toks[1:3]) AS term FROM qtok) t
+    WHERE t.term <> ''),
+  nqterms AS (
+    SELECT DISTINCT query_id, t.term
+    FROM (SELECT query_id, unnest(toks[4:4]) AS term FROM qtok) t
+    WHERE t.term <> ''),
+  excl AS (
+    SELECT DISTINCT n.query_id, p.doc_id
+    FROM nqterms n JOIN postings p ON n.term = p.term),
+  scores AS (
+    SELECT q.query_id, w.doc_id, SUM(w.weight) AS score
+    FROM qterms q JOIN weights w ON q.term = w.term
+    GROUP BY 1, 2),
+  kept AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scores s LEFT JOIN excl e
+      ON s.query_id = e.query_id AND s.doc_id = e.doc_id
+    WHERE e.doc_id IS NULL),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM kept)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
 """
 
@@ -2245,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_topk": _q_bm25_index_topk,
         "bm25_filter_topk": _q_bm25_filter_topk,
         "bm25_facet_counts": _q_bm25_facet_counts,
+        "bm25_not_topk": _q_bm25_not_topk,
         "bm25_point_topk": _q_bm25_point_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_append_topk": _q_bm25_append_topk,
@@ -2337,6 +2421,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_index_topk": _SQL_BM25_TOPK,
         "bm25_filter_topk": _SQL_BM25_FILTER_TOPK,
         "bm25_facet_counts": _SQL_BM25_FACET_COUNTS,
+        "bm25_not_topk": _SQL_BM25_NOT_TOPK,
         "bm25_point_topk": _SQL_BM25_TOPK,
         "bm25_and_topk": _SQL_BM25_AND_TOPK,
         # append == full build exactly, so the oracle is the plain

@@ -161,7 +161,9 @@ class IndexHandle:
         ``'or'`` is the BM25 union ranking. ``min_match=m`` (quorum,
         mode='or' only) keeps docs matching at least m distinct query
         terms — served by the segment batch scorer's match-count grid, so
-        it always routes to 'segment'.
+        it always routes to 'segment'. A ``not_terms`` array column on
+        ``queries`` (Lucene MUST_NOT) excludes docs containing any of
+        those terms from that query's ranking — also segment-routed.
 
         ``path`` forces 'segment' | 'bucket' | 'term_major' (parity
         testing / expert override). Weighted queries (``weights`` column)
@@ -185,7 +187,14 @@ class IndexHandle:
                 "filter is served by the segment path (per-shard "
                 f"doc-values delivery); path={path!r} does not support it"
             )
-        if query_weighted or min_match is not None or filter is not None:
+        has_not = "not_terms" in queries.columns
+        if has_not and path not in (None, "segment"):
+            raise ValueError(
+                "not_terms (MUST_NOT) is served by the segment batch "
+                f"scorer; path={path!r} does not support it"
+            )
+        if (query_weighted or min_match is not None or filter is not None
+                or has_not):
             path = "segment"
         elif path is None:
             # routing only needs "≤ point_cutoff?" — the limit makes the

@@ -768,6 +768,21 @@ def _score_batch(
     qlens = np.array([len(t) for t in term_lists], np.int64)
     if qlens.sum() == 0:
         return pd.DataFrame(_EMPTY_RESULT)
+    # NOT terms (Lucene MUST_NOT): docs containing ANY of a query's
+    # not_terms are excluded from that query's ranking. Shard-local
+    # decidable (a doc's postings live wholly in its shard), applied by
+    # writing -inf into the excluded (query, doc) score cells before
+    # selection — the existing isfinite() emission filter then drops them,
+    # so exclusion can never crowd the local top-k or survive the merge.
+    nt_lists = None
+    if "not_terms" in q_pdf.columns:
+        nt_lists = [
+            np.asarray(t, dtype=object) if t is not None
+            else np.zeros(0, dtype=object)
+            for t in q_pdf["not_terms"]
+        ]
+        if sum(len(t) for t in nt_lists) == 0:
+            nt_lists = None
     # AND mode: a doc qualifies only when its per-cell distinct-term match
     # count reaches the query's FULL distinct term count (terms absent from
     # the index or this shard can never be matched → strict AND empties)
@@ -787,13 +802,35 @@ def _score_batch(
     )
     all_terms = np.concatenate(term_lists)
     all_qi = np.repeat(np.arange(n_q, dtype=np.int64), qlens)
-    codes, uniq_terms = pd.factorize(all_terms)
+    nt_pair_qi = nt_pair_code = None
+    if nt_lists is not None:
+        # factorize positive and NOT terms together so both share one
+        # code space (and one bulk decode below); split codes back after
+        nt_lens = np.array([len(t) for t in nt_lists], np.int64)
+        all_nt = np.concatenate(nt_lists)
+        nt_qi = np.repeat(np.arange(n_q, dtype=np.int64), nt_lens)
+        codes_all, uniq_terms = pd.factorize(
+            np.concatenate([all_terms, all_nt])
+        )
+        codes, nt_codes = (
+            codes_all[: len(all_terms)],
+            codes_all[len(all_terms):],
+        )
+    else:
+        codes, uniq_terms = pd.factorize(all_terms)
     present = np.array([t in idx._groups for t in uniq_terms], bool)
     keep = present[codes]
     if not keep.any():
         return pd.DataFrame(_EMPTY_RESULT)
     n_codes = len(uniq_terms)
     key = all_qi[keep] * n_codes + codes[keep]
+    if nt_lists is not None:
+        nt_keep = present[nt_codes]
+        nt_key = np.unique(
+            nt_qi[nt_keep] * n_codes + nt_codes[nt_keep]
+        )
+        nt_pair_qi = nt_key // n_codes  # ascending (qi-major unique)
+        nt_pair_code = nt_key % n_codes
     if query_weighted:
         # duplicate (query, term) occurrences ADD their qw mass — exactly
         # the relational Σ qw·weight semantics (query.py). Per-row length
@@ -891,6 +928,30 @@ def _score_batch(
         cnt = np.bincount(flat, minlength=nbins).reshape(nq, span)
         matched = cnt > 0
         S[~matched] = -np.inf
+        if nt_pair_qi is not None:
+            # MUST_NOT: write -inf into every (query, doc) cell touched by
+            # a NOT term's postings — the isfinite() emission filter drops
+            # them, so an excluded doc can never crowd the local top-k
+            nlo = np.searchsorted(nt_pair_qi, c0)
+            nhi = np.searchsorted(nt_pair_qi, c1)
+            if nlo < nhi:
+                e_qi = nt_pair_qi[nlo:nhi]
+                e_s = code_s[nt_pair_code[nlo:nhi]]
+                e_len = code_e[nt_pair_code[nlo:nhi]] - e_s
+                enz = e_len > 0
+                if enz.any():
+                    e_qi, e_s, e_len = e_qi[enz], e_s[enz], e_len[enz]
+                    e_ends = np.cumsum(e_len)
+                    e_arena = (
+                        np.arange(int(e_ends[-1]), dtype=np.int64)
+                        - np.repeat(e_ends - e_len, e_len)
+                        + np.repeat(e_s, e_len)
+                    )
+                    e_flat = (
+                        np.repeat((e_qi - c0) * span, e_len)
+                        + local[e_arena]
+                    )
+                    S.reshape(-1)[e_flat] = -np.inf
         if nreq is not None:
             # deduped (query, term) pairs scatter each matching term once
             # per doc, so cnt IS the distinct-term match count
@@ -969,6 +1030,12 @@ def segment_topk(
     AND. Queries with fewer than m distinct index-present terms return
     nothing (strict quorum, matching the relational HAVING semantics).
 
+    ``not_terms`` (an optional array<string> column on ``queries`` —
+    Lucene's MUST_NOT): docs containing ANY of a query's not_terms are
+    excluded from that query's ranking; scores of survivors are unchanged
+    (exclusion, not scoring). Shard-local decidable, composes with
+    mode/min_match/filters, requires the batch scorer.
+
     ``batch=True`` scores every query of a shard in one vectorized pass
     (fastest for large batches, exhaustive); ``batch=False`` scores
     query-at-a-time with Block-Max MaxScore pruning (``prune``) — best for
@@ -1005,6 +1072,11 @@ def segment_topk(
                 "quorum filter lives on its match-count grid"
             )
         min_match = int(min_match)
+    if "not_terms" in queries.columns and batch is False:
+        raise ValueError(
+            "not_terms (MUST_NOT exclusion) requires the batch scorer "
+            "(batch=True): exclusion is applied on its score grid"
+        )
     if batch is None:
         batch = True
     if query_weighted and not batch:
@@ -1090,6 +1162,7 @@ def segment_topk(
         ["query_id", "terms"]
         + (["weights"] if query_weighted else [])
         + (["idfs"] if factored and not seg_has_idf else [])
+        + (["not_terms"] if "not_terms" in queries.columns else [])
     )
     def make_score_shard(k_emit: int, with_tau: bool):
         def score_shard(
