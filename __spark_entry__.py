@@ -313,6 +313,47 @@ def _q_bm25_filter_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_range_topk(spark, sf_dir):
+    """NUMERIC-RANGE filtered retrieval (docvalues kind='numeric'): the
+    per-shard int64 doc-values array holds each doc's n_chars; ranking is
+    restricted to docs with n_chars in [150, 400] — the crawl-date /
+    length-window query shape. The closed-range predicate is evaluated in
+    the kernel at the decode choke point exactly like the dict filter;
+    corpus stats stay whole-corpus. Oracle: full-corpus BM25 weights,
+    ranking restricted by a BETWEEN join. Selected pairs re-scored with
+    exact float64 relational weights as in bm25_index_topk."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext import retrieve
+    from similaripy_spark.fulltext.docvalues import build_docvalues
+    from similaripy_spark.fulltext.weights import bm25_weights
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_rng_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_docvalues(docs, d, [("n_chars", "numeric")])
+    picked = retrieve.open_index(spark, d, cache=False).topk(
+        queries, k=10, filter={"n_chars": (150, 400)}
+    ).select("query_id", "doc_id")
+    w = bm25_weights(_postings(spark, sf_dir))
+    qterms = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    exact = (
+        qterms.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return picked.join(exact, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 def _q_bm25_not_topk(spark, sf_dir):
     """MUST_NOT exclusion (wand._score_batch not_terms): queries carry
     positive terms (tokens 1-3) and NOT terms (token 4); docs containing
@@ -957,6 +998,37 @@ WITH {_SQL_POSTINGS},
     SELECT q.query_id, w.doc_id, SUM(w.weight) AS score
     FROM qterms q JOIN weights w ON q.term = w.term
     JOIN documents dd ON dd.doc_id = w.doc_id AND dd.lang IN ('de', 'fr')
+    GROUP BY 1, 2),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+# numeric-range filter: full-corpus BM25 weights, ranking restricted to
+# docs with n_chars in the closed [150, 400] window
+_SQL_BM25_RANGE_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  queries AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, term FROM queries WHERE term <> ''),
+  scores AS (
+    SELECT q.query_id, w.doc_id, SUM(w.weight) AS score
+    FROM qterms q JOIN weights w ON q.term = w.term
+    JOIN documents dd ON dd.doc_id = w.doc_id
+      AND dd.n_chars BETWEEN 150 AND 400
     GROUP BY 1, 2),
   ranked AS (
     SELECT query_id, doc_id, score,
@@ -2329,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filter_topk": _q_bm25_filter_topk,
         "bm25_facet_counts": _q_bm25_facet_counts,
         "bm25_not_topk": _q_bm25_not_topk,
+        "bm25_range_topk": _q_bm25_range_topk,
         "bm25_point_topk": _q_bm25_point_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_append_topk": _q_bm25_append_topk,
@@ -2422,6 +2495,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_filter_topk": _SQL_BM25_FILTER_TOPK,
         "bm25_facet_counts": _SQL_BM25_FACET_COUNTS,
         "bm25_not_topk": _SQL_BM25_NOT_TOPK,
+        "bm25_range_topk": _SQL_BM25_RANGE_TOPK,
         "bm25_point_topk": _SQL_BM25_TOPK,
         "bm25_and_topk": _SQL_BM25_AND_TOPK,
         # append == full build exactly, so the oracle is the plain

@@ -79,6 +79,11 @@ DV_TERM_PREFIX = "\x00dv:"
 #: uint16 codes; 0 is reserved for NULL / doc-absent
 MAX_CARDINALITY = 65534
 
+#: numeric doc-values: int64 per doc; NULL / doc-absent stores the int64
+#: minimum, which no closed [lo, hi] range with lo > INT64_MIN matches —
+#: and the kernel masks it explicitly anyway
+NUMERIC_NULL = np.iinfo(np.int64).min
+
 CODES_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType(), False),
@@ -109,18 +114,37 @@ def build_docvalues(
     max_cardinality: int = MAX_CARDINALITY,
 ) -> dict:
     """Build (or rebuild) the doc-values sidecar for ``fields`` of
-    ``pages``. One column-pruned pass per field: dictionary job (distinct
-    values — a partial-aggregated shuffle of at most ``max_cardinality``
-    rows), then codes job (broadcast dict join + one hash repartition by
-    the MAIN index's shard mapping into dense per-shard uint16 arrays).
-    Atomic stage→commit publish per field; ``_meta.json`` pins the index
-    epoch. Idempotent — a rebuild is one pointer swap per field."""
+    ``pages``. Each entry is a column name (dictionary-encoded 'dict'
+    kind, for low-cardinality strings) or a ``(name, 'numeric')`` pair
+    (int64 per doc — timestamps stored as epoch microseconds — for RANGE
+    filters: crawl-date windows, length bounds).
+
+    One column-pruned pass per field: for 'dict', a dictionary job
+    (distinct values — a partial-aggregated shuffle of at most
+    ``max_cardinality`` rows) then a codes job (broadcast dict join + one
+    hash repartition by the MAIN index's shard mapping into dense
+    per-shard uint16 arrays); 'numeric' skips the dictionary and packs
+    int64 directly (NULL → NUMERIC_NULL sentinel). Atomic stage→commit
+    publish per field; ``_meta.json`` pins the index epoch. Idempotent —
+    a rebuild is one pointer swap per field."""
     spark = pages.sparkSession
     meta = read_meta(index_dir)
     shard_size = int(meta["shard_size"])
     commit = LocalFSCommitProtocol()
     field_meta = {}
-    for field in fields:
+    for spec in fields:
+        field, kind = (spec, "dict") if isinstance(spec, str) else spec
+        if kind == "numeric":
+            _build_numeric_field(
+                pages, index_dir, field, id_col, shard_size, commit
+            )
+            field_meta[field] = {"kind": "numeric"}
+            continue
+        if kind != "dict":
+            raise ValueError(
+                f"unknown doc-values kind {kind!r} for field {field!r} "
+                "(use 'dict' or 'numeric')"
+            )
         vals = [
             r[0]
             for r in (
@@ -198,7 +222,7 @@ def build_docvalues(
             os.path.join(staged, "dict.parquet"),
         )
         commit.commit_dir(staged, out)
-        field_meta[field] = {"cardinality": len(vals)}
+        field_meta[field] = {"kind": "dict", "cardinality": len(vals)}
     side_meta = {
         "n_epochs": int(meta.get("n_epochs", 1)),
         "n_docs": int(meta["n_docs"]),
@@ -215,6 +239,66 @@ def build_docvalues(
         json.dump(side_meta, f)
     os.replace(tmp, os.path.join(_dv_dir(index_dir), "_meta.json"))
     return side_meta
+
+
+def _build_numeric_field(
+    pages: DataFrame, index_dir: str, field: str, id_col: str,
+    shard_size: int, commit,
+) -> None:
+    """Pack a numeric attribute into dense per-shard int64 arrays.
+    Timestamps become epoch microseconds; anything else is cast to long.
+    NULL / absent docs store NUMERIC_NULL, masked in the kernel."""
+    ftype = dict(pages.dtypes).get(field)
+    if ftype is None:
+        raise ValueError(f"pages has no column {field!r}")
+    src = F.col(field)
+    val = (
+        F.unix_micros(src) if ftype.startswith("timestamp")
+        else src.cast("long")
+    )
+    coded = pages.select(
+        (F.col(id_col).cast("long") / shard_size).cast("int").alias(
+            "shard"
+        ),
+        (F.col(id_col).cast("long") % shard_size).cast("int").alias("off"),
+        F.coalesce(val, F.lit(int(NUMERIC_NULL))).alias("code"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        arr = np.full(shard_size, NUMERIC_NULL, np.int64)
+        arr[pdf["off"].to_numpy(np.int64)] = pdf["code"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "shard": np.array([shard], np.int32),
+                "base_doc": np.array([shard * shard_size], np.int64),
+                "n": np.array([len(pdf)], np.int32),
+                "codes": [arr.tobytes()],
+            }
+        )
+
+    out = os.path.join(_dv_dir(index_dir), field)
+    staged = commit.stage_path(out)
+    coded.groupBy("shard").applyInPandas(
+        pack, schema=CODES_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(staged, "codes"))
+    commit.commit_dir(staged, out)
+
+
+def field_kind(index_dir: str, field: str) -> str:
+    side = docvalues_meta(index_dir) or {}
+    return (
+        side.get("field_meta", {}).get(field, {}).get("kind", "dict")
+    )
+
+
+def to_epoch_micros(v) -> int:
+    """Range-bound coercion: ints pass through; datetime / date /
+    ISO-string bounds become epoch microseconds (what numeric timestamp
+    doc-values store)."""
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return int(pd.Timestamp(v).value // 1000)
 
 
 def docvalues_meta(index_dir: str) -> dict | None:
@@ -296,13 +380,14 @@ def sentinel_segments(
     rows (term = DV_TERM_PREFIX + field, codes in ``doc_deltas``), with
     every extra column of ``like`` (group, idf, ...) null-filled so a
     ``unionByName`` is exact. One row per shard."""
+    width = 8 if field_kind(index_dir, field) == "numeric" else 2
     dv = read_codes(spark, index_dir, field).select(
         F.col("shard"),
         F.lit(DV_TERM_PREFIX + field).alias("term"),
         F.lit(-1).cast("int").alias("block_id"),
         F.col("n"),
         F.col("base_doc").alias("first_doc"),
-        (F.col("base_doc") + F.length("codes") / 2 - 1)
+        (F.col("base_doc") + F.length("codes") / width - 1)
         .cast("long")
         .alias("max_doc"),
         F.lit(0.0).cast("float").alias("max_score"),
@@ -320,25 +405,55 @@ def sentinel_segments(
 
 
 def resolve_filter(index_dir: str, dv_filter: dict) -> dict:
-    """{field: values} -> {sentinel_term: lut}; validates freshness."""
+    """{field: predicate} -> {sentinel_term: matcher spec}; validates
+    freshness and kind. Predicates: a list/set of values (IN — 'dict'
+    fields) or a 2-tuple ``(lo, hi)`` closed range ('numeric' fields;
+    datetime / ISO-string bounds accepted, ``None`` for open ends).
+    Matcher specs: ``('dict', lut)`` or ``('range', lo, hi)``."""
     if not isinstance(dv_filter, dict) or not dv_filter:
         raise ValueError(
-            "dv_filter must be a non-empty dict {field: [values...]}, got "
-            f"{dv_filter!r}"
+            "dv_filter must be a non-empty dict {field: [values...] | "
+            f"(lo, hi)}}, got {dv_filter!r}"
         )
     check_docvalues_fresh(index_dir, list(dv_filter))
-    return {
-        DV_TERM_PREFIX + field: build_lut(index_dir, field, values)
-        for field, values in dv_filter.items()
-    }
+    specs = {}
+    for field, pred in dv_filter.items():
+        kind = field_kind(index_dir, field)
+        if kind == "numeric":
+            if not (isinstance(pred, tuple) and len(pred) == 2):
+                raise ValueError(
+                    f"field {field!r} is numeric — pass a (lo, hi) range "
+                    f"tuple, got {pred!r}"
+                )
+            lo = (
+                np.iinfo(np.int64).min + 1 if pred[0] is None
+                else to_epoch_micros(pred[0])
+            )
+            hi = (
+                np.iinfo(np.int64).max if pred[1] is None
+                else to_epoch_micros(pred[1])
+            )
+            specs[DV_TERM_PREFIX + field] = ("range", int(lo), int(hi))
+        else:
+            if isinstance(pred, tuple):
+                raise ValueError(
+                    f"field {field!r} is dictionary-encoded — pass a list "
+                    f"of values, got range {pred!r} (build the field with "
+                    "kind='numeric' for range filters)"
+                )
+            specs[DV_TERM_PREFIX + field] = (
+                "dict", build_lut(index_dir, field, pred),
+            )
+    return specs
 
 
 def split_dv_rows(seg_pdf: pd.DataFrame, dv_luts: dict):
     """Pop the sentinel rows out of a shard's segment frame → (clean
-    frame, [(base_doc, codes uint16, lut), ...]). Raises when a filter
-    field's sentinel row is missing for a shard that has postings — a
-    missing row means the sidecar and segment relations went out of sync
-    (never silently rank unfiltered)."""
+    frame, kernel matcher entries ``('dict', base, codes, lut)`` /
+    ``('range', base, vals, lo, hi)``). Raises when a filter field's
+    sentinel row is missing for a shard that has postings — a missing row
+    means the sidecar and segment relations went out of sync (never
+    silently rank unfiltered)."""
     is_dv = seg_pdf["term"].str.startswith(DV_TERM_PREFIX, na=False)
     if not is_dv.any():
         if dv_luts:
@@ -350,7 +465,7 @@ def split_dv_rows(seg_pdf: pd.DataFrame, dv_luts: dict):
     dv_rows = seg_pdf[is_dv]
     clean = seg_pdf[~is_dv]
     dv = []
-    for sent_term, lut in dv_luts.items():
+    for sent_term, spec in dv_luts.items():
         hit = dv_rows[dv_rows["term"] == sent_term]
         if len(hit) == 0:
             if len(clean) == 0:
@@ -360,8 +475,13 @@ def split_dv_rows(seg_pdf: pd.DataFrame, dv_luts: dict):
                 "in a shard that has postings"
             )
         r = hit.iloc[0]
-        codes = np.frombuffer(r["doc_deltas"], dtype=np.uint16)
-        dv.append((int(r["first_doc"]), codes, lut))
+        base = int(r["first_doc"])
+        if spec[0] == "range":
+            vals = np.frombuffer(r["doc_deltas"], dtype=np.int64)
+            dv.append(("range", base, vals, spec[1], spec[2]))
+        else:
+            codes = np.frombuffer(r["doc_deltas"], dtype=np.uint16)
+            dv.append(("dict", base, codes, spec[1]))
     return clean, dv
 
 
@@ -396,6 +516,11 @@ def facet_counts(
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     check_docvalues_fresh(index_dir, [field])
+    if field_kind(index_dir, field) != "dict":
+        raise ValueError(
+            f"facet_counts needs a dictionary-encoded field; {field!r} is "
+            "numeric (bucket it into a dict field at build time to facet)"
+        )
     meta = read_meta(index_dir)
     shard_size = int(meta["shard_size"])
 

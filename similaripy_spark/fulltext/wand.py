@@ -102,8 +102,8 @@ class _ShardIndex:
         self._idf = idf
         self._raw = raw
         self._tomb = tomb if tomb is not None and len(tomb) else None
-        # dv: [(base_doc, codes uint16 array, allowed-code bool lut), ...]
-        # — one entry per active doc-values filter field (docvalues.py).
+        # dv: matcher entries ('dict', base, codes, lut) / ('range', base,
+        # vals, lo, hi) — one per active doc-values filter (docvalues.py).
         # Applied in _live_mask (the decode choke point), so every scorer
         # is exact over the filtered corpus, same argument as tombstones.
         self._dv = dv if dv else None
@@ -226,8 +226,14 @@ class _ShardIndex:
             k = self._tomb[pos] != docs
             keep = k if not k.all() else None
         if self._dv is not None:
-            for base, codes, lut in self._dv:
-                k = lut[codes[docs - base]]
+            for entry in self._dv:
+                if entry[0] == "range":
+                    _, base, vals, lo, hi = entry
+                    v = vals[docs - base]
+                    k = (v >= lo) & (v <= hi)
+                else:
+                    _, base, codes, lut = entry
+                    k = lut[codes[docs - base]]
                 keep = k if keep is None else (keep & k)
         return None if keep is None or keep.all() else keep
 

@@ -68,7 +68,9 @@ def queries(corpus):
 def indexed(spark, corpus, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("dv") / "idx")
     IndexBuilder(d, n_groups=3, shard_size=256).build(corpus)
-    build_docvalues(corpus, d, ["lang", "bucket"])
+    build_docvalues(
+        corpus, d, ["lang", "bucket", ("warc_ts", "numeric")]
+    )
     return d
 
 
@@ -223,6 +225,63 @@ def test_stale_after_append_raises(spark, corpus, queries, tmp_path_factory):
         )
     )
     _assert_same_ranking(got, want)
+
+
+def test_numeric_range_filter_exact(spark, corpus, queries, indexed):
+    lo_us, hi_us = [
+        int(r[0])
+        for r in corpus.selectExpr(
+            "percentile(unix_micros(warc_ts), 0.25)",
+        ).collect()
+    ] + [
+        int(r[0])
+        for r in corpus.selectExpr(
+            "percentile(unix_micros(warc_ts), 0.75)",
+        ).collect()
+    ]
+    want = _oracle(
+        corpus, queries,
+        (F.unix_micros("warc_ts") >= lo_us)
+        & (F.unix_micros("warc_ts") <= hi_us),
+    )
+    handle = open_index(spark, indexed, cache=False)
+    got = _rows(
+        handle.topk(queries, k=5, filter={"warc_ts": (lo_us, hi_us)})
+    )
+    _assert_same_ranking(got, want)
+    # datetime bounds coerce to the same epoch-micros ints
+    import pandas as pd
+
+    got_dt = _rows(
+        handle.topk(
+            queries, k=5,
+            filter={"warc_ts": (pd.Timestamp(lo_us * 1000),
+                                pd.Timestamp(hi_us * 1000))},
+        )
+    )
+    assert got_dt == got
+    # open-ended range + dict filter composition
+    want_open = _oracle(
+        corpus, queries,
+        (F.unix_micros("warc_ts") >= lo_us) & (F.col("lang") == "en"),
+    )
+    got_open = _rows(
+        handle.topk(
+            queries, k=5,
+            filter={"warc_ts": (lo_us, None), "lang": ["en"]},
+        )
+    )
+    _assert_same_ranking(got_open, want_open)
+
+
+def test_kind_mismatch_and_numeric_facet_raise(spark, queries, indexed):
+    handle = open_index(spark, indexed, cache=False)
+    with pytest.raises(ValueError):
+        handle.topk(queries, k=5, filter={"lang": (0, 1)})
+    with pytest.raises(ValueError):
+        handle.topk(queries, k=5, filter={"warc_ts": ["2020"]})
+    with pytest.raises(ValueError):
+        facet_counts(spark, queries, indexed, "warc_ts")
 
 
 def _facet_twin(corpus, queries, mode="or", drop_ids=None):
