@@ -1262,6 +1262,21 @@ def describe_index(spark: SparkSession, index_dir: str) -> dict:
             "block_size": int(side.get("block_size", 0)),
             "n_epochs": int(side.get("n_epochs", 1)),
         }
+    from similaripy_spark.fulltext import docvalues
+
+    dv = docvalues.docvalues_meta(index_dir)
+    if dv is not None:
+        out["docvalues"] = {
+            "fresh": (
+                int(dv.get("n_epochs", 1)),
+                int(dv.get("n_docs", -1)),
+            )
+            == (int(meta.get("n_epochs", 1)), int(meta["n_docs"])),
+            "fields": {
+                f: fm.get("kind", "dict")
+                for f, fm in dv.get("field_meta", {}).items()
+            },
+        }
     bm = os.path.join(index_dir, "lineage", "build_metrics.json")
     if os.path.exists(bm):
         out["build_phase_ms"] = json.load(open(bm)).get("phase_ms")

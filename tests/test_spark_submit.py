@@ -67,13 +67,16 @@ def test_spark_submit_build_then_query(spark, tmp_path):
 
     r = subprocess.run(
         base + ["build", "--pages", pages_p, "--index", index_p,
-                "--groups", "2", "--commit", "pointer", "--positions"],
+                "--groups", "2", "--commit", "pointer", "--positions",
+                "--docvalues", "lang",
+                "--docvalues-numeric", "warc_ts"],
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     built = json.loads(r.stdout.strip().splitlines()[-1])
     assert built["n_docs"] == 300 and built["positions"] is True
+    assert built["docvalues"] == ["lang", "warc_ts"]
     # pointer backend really used: segments/ holds pointer objects
     assert any(
         f.endswith(".ptr.json")
@@ -123,6 +126,37 @@ def test_spark_submit_build_then_query(spark, tmp_path):
         row["query_id"] in qids
         for row in spark.read.parquet(phrase_p).collect()
     )
+
+    # filtered-query leg: doc-values IN-list filter built by --docvalues;
+    # every returned doc must carry the filtered attribute
+    out_f_p = str(tmp_path / "filtered_results")
+    r = subprocess.run(
+        base + ["query", "--index", index_p, "--queries", queries_p,
+                "--out", out_f_p, "--k", "10", "--filter", "lang=xx"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    xx_ids = {
+        row["doc_id"]
+        for row in spark.read.parquet(pages_p)
+        .filter("lang = 'xx'").select("doc_id").collect()
+    }
+    fil = spark.read.parquet(out_f_p).collect()
+    assert fil and all(row["doc_id"] in xx_ids for row in fil)
+
+    # facets leg: per-query lang counts through the CLI
+    out_fc_p = str(tmp_path / "facet_results")
+    r = subprocess.run(
+        base + ["facets", "--index", index_p, "--queries", queries_p,
+                "--field", "lang", "--out", out_fc_p],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    fc = spark.read.parquet(out_fc_p)
+    assert fc.count() > 0
+    assert {"query_id", "value", "n_docs"} == set(fc.columns)
 
     # mlt leg: seed docs as queries through the CLI (comma-list seeds)
     out3_p = str(tmp_path / "mlt_results")

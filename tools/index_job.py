@@ -65,6 +65,16 @@ def main(argv=None):
         help="also build the positional sidecar (phrase / proximity / "
         "snippet serving without the crawl table)",
     )
+    b.add_argument(
+        "--docvalues", default=None,
+        help="comma-separated page columns to store as dictionary-encoded "
+        "doc-values (filtered retrieval / facets), e.g. 'lang'",
+    )
+    b.add_argument(
+        "--docvalues-numeric", default=None,
+        help="comma-separated numeric page columns for RANGE filters "
+        "(timestamps stored as epoch micros), e.g. 'warc_ts'",
+    )
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -90,6 +100,28 @@ def main(argv=None):
         "sidecar; combine with --slop for ordered-window proximity)",
     )
     q.add_argument("--slop", type=int, default=0)
+    q.add_argument(
+        "--filter", action="append", default=None, metavar="FIELD=V1,V2",
+        help="doc-values IN-list filter (repeatable; fields AND together);"
+        " needs the docvalues sidecar. A not_terms array column on the "
+        "queries parquet is honored automatically (MUST_NOT)",
+    )
+    q.add_argument(
+        "--filter-range", action="append", default=None,
+        metavar="FIELD=LO:HI",
+        help="numeric doc-values closed-range filter; empty LO or HI = "
+        "open end; ints or ISO timestamps",
+    )
+
+    fc = sub.add_parser(
+        "facets",
+        help="per-query match counts grouped by a doc-values field",
+    )
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--queries", required=True)
+    fc.add_argument("--field", required=True)
+    fc.add_argument("--out", required=True)
+    fc.add_argument("--mode", choices=["or", "and"], default="or")
 
     m = sub.add_parser("merge")
     m.add_argument("--indexes", nargs="+", required=True)
@@ -139,7 +171,23 @@ def main(argv=None):
             from similaripy_spark.fulltext.positional import build_positions
 
             build_positions(pages, args.index, lang=args.lang)
+        dv_fields = []
+        if args.docvalues:
+            dv_fields += [f for f in args.docvalues.split(",") if f]
+        if args.docvalues_numeric:
+            dv_fields += [
+                (f, "numeric")
+                for f in args.docvalues_numeric.split(",") if f
+            ]
+        if dv_fields:
+            from similaripy_spark.fulltext.docvalues import build_docvalues
+
+            build_docvalues(pages, args.index, dv_fields)
         print(json.dumps({"built": args.index, "positions": args.positions,
+                          "docvalues": [
+                              f if isinstance(f, str) else f[0]
+                              for f in dv_fields
+                          ],
                           **{k: meta[k] for k in ("n_docs", "n_shards", "avgdl")}}))
     elif args.cmd == "query":
         from similaripy_spark.fulltext.retrieve import topk
@@ -151,12 +199,43 @@ def main(argv=None):
             out = phrase_topk_pos(spark, args.index, queries, k=args.k,
                                   slop=args.slop)
         else:
+            filt = {}
+            for spec in args.filter or []:
+                field, _, vals = spec.partition("=")
+                if not vals:
+                    raise SystemExit(f"--filter expects FIELD=V1,V2: {spec}")
+                filt[field] = [v for v in vals.split(",") if v]
+            for spec in args.filter_range or []:
+                field, _, rng = spec.partition("=")
+                lo, sep, hi = rng.partition(":")
+                if not sep:
+                    raise SystemExit(
+                        f"--filter-range expects FIELD=LO:HI: {spec}"
+                    )
+
+                def _bound(s):
+                    if not s:
+                        return None
+                    try:
+                        return int(s)
+                    except ValueError:
+                        return s  # ISO timestamp — coerced by the library
+                filt[field] = (_bound(lo), _bound(hi))
             # auto-routed front-end: shard list from meta.json, path chosen
             # from batch size + index layout (segment sweep / term-major)
             out = topk(spark, args.index, queries, k=args.k, mode=args.mode,
-                       min_match=args.min_match)
+                       min_match=args.min_match, filter=filt or None)
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"queried": args.index, "out": args.out}))
+    elif args.cmd == "facets":
+        from similaripy_spark.fulltext.docvalues import facet_counts
+
+        queries = spark.read.parquet(args.queries)
+        out = facet_counts(spark, queries, args.index, args.field,
+                           mode=args.mode)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"facets": args.index, "field": args.field,
+                          "out": args.out}))
     elif args.cmd == "merge":
         from similaripy_spark.fulltext.index_merge import merge_indexes
 
