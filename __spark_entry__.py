@@ -394,6 +394,54 @@ def _q_bm25_not_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_search_topk(spark, sf_dir):
+    """QUERY-STRING surface (querylang.search — the Lucene-flavored
+    search-box grammar): each seed doc becomes the string
+    ``"t1 t2" t3 -t4 n_chars:[100 TO 500]`` — a phrase constraint, a loose
+    ranked term, a MUST_NOT, and a numeric doc-values range — composed by
+    the phrase path: positional match set ∩ NOT anti-join ∩ range filter,
+    survivors scored relationally over the distinct ranked terms with the
+    index's own stats (float64, independent of stored weight scheme). The
+    SQL oracle states the same composition: adjacency regexp, NOT
+    anti-join, BETWEEN, sum of whole-corpus BM25 weights."""
+    import tempfile
+
+    from functools import reduce
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.docvalues import build_docvalues
+    from similaripy_spark.fulltext.positional import build_positions
+    from similaripy_spark.fulltext.querylang import search
+
+    docs = _docs(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="entry_qs_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_docvalues(docs, d, [("n_chars", "numeric")])
+    build_positions(docs, d)
+    toks_col = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    seeds = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id", F.slice(toks_col, 1, 4).alias("t"))
+        .filter(F.size("t") >= 4)
+        .collect()
+    )
+    parts = [
+        search(
+            spark, d,
+            f'"{r.t[0]} {r.t[1]}" {r.t[2]} -{r.t[3]} '
+            "n_chars:[100 TO 500]",
+            k=10, query_id=int(r.doc_id),
+        )
+        for r in seeds
+    ]
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.select(
+        "query_id", "doc_id", _r6("score").alias("score")
+    )
+
+
 def _q_bm25_facet_counts(spark, sf_dir):
     """FACET COUNTS over the match set (docvalues.facet_counts): for each
     query, the number of matching live docs per ``lang`` value — the facet
@@ -1077,6 +1125,52 @@ WITH {_SQL_POSTINGS},
     SELECT query_id, doc_id, score,
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM kept)
+SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+# query-string composition: phrase adjacency + loose term + MUST_NOT +
+# numeric range, scored over the distinct ranked terms
+_SQL_BM25_SEARCH_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  q0 AS (
+    SELECT doc_id AS query_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS l
+    FROM documents WHERE doc_id % 100 = 0),
+  q AS (SELECT query_id, l[1] AS t1, l[2] AS t2, l[3] AS t3, l[4] AS t4
+        FROM q0 WHERE len(l) >= 4),
+  qterms AS (SELECT query_id, t1 AS term FROM q
+             UNION SELECT query_id, t2 FROM q
+             UNION SELECT query_id, t3 FROM q),
+  excl AS (
+    SELECT DISTINCT q.query_id, p.doc_id
+    FROM q JOIN postings p ON p.term = q.t4),
+  scores AS (
+    SELECT qt.query_id, w.doc_id, SUM(w.weight) AS score
+    FROM qterms qt JOIN weights w ON qt.term = w.term GROUP BY 1, 2),
+  ver AS (
+    SELECT s.query_id, s.doc_id, s.score
+    FROM scores s
+    JOIN q ON q.query_id = s.query_id
+    JOIN documents d ON d.doc_id = s.doc_id
+    LEFT JOIN excl e ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+    WHERE e.doc_id IS NULL
+      AND d.n_chars BETWEEN 100 AND 500
+      AND regexp_matches(lower(d.text),
+          '(^|[^a-z0-9])' || q.t1 || '[^a-z0-9]+' || q.t2 || '($|[^a-z0-9])')),
+  ranked AS (
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+    FROM ver)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
 """
 
@@ -2402,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_facet_counts": _q_bm25_facet_counts,
         "bm25_not_topk": _q_bm25_not_topk,
         "bm25_range_topk": _q_bm25_range_topk,
+        "bm25_search_topk": _q_bm25_search_topk,
         "bm25_point_topk": _q_bm25_point_topk,
         "bm25_and_topk": _q_bm25_and_topk,
         "bm25_append_topk": _q_bm25_append_topk,
@@ -2496,6 +2591,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_facet_counts": _SQL_BM25_FACET_COUNTS,
         "bm25_not_topk": _SQL_BM25_NOT_TOPK,
         "bm25_range_topk": _SQL_BM25_RANGE_TOPK,
+        "bm25_search_topk": _SQL_BM25_SEARCH_TOPK,
         "bm25_point_topk": _SQL_BM25_TOPK,
         "bm25_and_topk": _SQL_BM25_AND_TOPK,
         # append == full build exactly, so the oracle is the plain

@@ -31,6 +31,10 @@ from similaripy_spark.fulltext.docvalues import (  # noqa: F401
     build_docvalues,
     facet_counts,
 )
+from similaripy_spark.fulltext.querylang import (  # noqa: F401
+    parse_query,
+    search,
+)
 from similaripy_spark.fulltext.delete import (  # noqa: F401
     compact_index,
     delete_docs,

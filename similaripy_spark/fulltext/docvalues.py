@@ -485,6 +485,73 @@ def split_dv_rows(seg_pdf: pd.DataFrame, dv_luts: dict):
     return clean, dv
 
 
+def filter_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    dv_filter: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Relational twin of the kernel dv matcher: keep rows of ``docs``
+    whose attributes satisfy ``dv_filter`` (same predicate forms as
+    ``resolve_filter``). Candidate-driven — a per-shard cogroup gathers
+    only the CANDIDATE docs' values from the positional arrays (traffic ∝
+    candidates + sidecar bytes), then a semi-join keeps survivors. Used
+    by the query-string phrase composition (querylang.py); parity with
+    the kernel path is pinned in tests."""
+    specs = resolve_filter(index_dir, dv_filter)
+    meta = read_meta(index_dir)
+    shard_size = int(meta["shard_size"])
+    out = docs
+    for sent_term, spec in specs.items():
+        field = sent_term[len(DV_TERM_PREFIX):]
+        ids = (
+            out.select(F.col(id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .withColumn(
+                "shard", (F.col("doc_id") / shard_size).cast("int")
+            )
+        )
+        dv = read_codes(spark, index_dir, field)
+
+        def make_keep_fn(_spec):
+            # exactly TWO positional args — pyspark's cogroup dispatch
+            # inspects the arity and a third (even defaulted) parameter
+            # flips it to (key, left, right) mode
+            def keep_fn(
+                m_pdf: pd.DataFrame, dv_pdf: pd.DataFrame
+            ) -> pd.DataFrame:
+                if len(m_pdf) == 0 or len(dv_pdf) == 0:
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series(dtype="int64")}
+                    )
+                base = int(dv_pdf["base_doc"].iloc[0])
+                docs_np = m_pdf["doc_id"].to_numpy(np.int64)
+                if _spec[0] == "range":
+                    vals = np.frombuffer(
+                        dv_pdf["codes"].iloc[0], dtype=np.int64
+                    )[docs_np - base]
+                    k = (vals >= _spec[1]) & (vals <= _spec[2])
+                else:
+                    codes = np.frombuffer(
+                        dv_pdf["codes"].iloc[0], dtype=np.uint16
+                    )[docs_np - base]
+                    k = _spec[1][codes]
+                return pd.DataFrame({"doc_id": docs_np[k]})
+
+            return keep_fn
+
+        kept = (
+            ids.groupBy("shard")
+            .cogroup(dv.groupBy("shard"))
+            .applyInPandas(make_keep_fn(spec), schema="doc_id long")
+        )
+        out = out.join(
+            kept.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
+    return out
+
+
 def facet_counts(
     spark: SparkSession,
     queries: DataFrame,

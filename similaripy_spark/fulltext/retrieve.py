@@ -228,6 +228,20 @@ class IndexHandle:
             return bucket_topk(self.spark, self.index_dir, queries, k=k)
         raise ValueError(f"unknown path {path!r}")
 
+    def search(self, q: str, k: int = 10, query_id: int = 0) -> DataFrame:
+        """One query STRING through the Lucene-flavored grammar
+        (querylang.py): ranked terms, ``-term`` MUST_NOT, ``"phrase"``
+        constraints, ``field:v1,v2`` / ``field:[lo TO hi]`` doc-values
+        filters. Phrase-free queries run on this handle's cached segment
+        relation; phrase queries compose the positional match sets with
+        exact relational re-scoring."""
+        from similaripy_spark.fulltext.querylang import search as _search
+
+        return _search(
+            self.spark, self.index_dir, q, k=k, query_id=query_id,
+            handle=self,
+        )
+
     def phrase_topk(
         self,
         pages: DataFrame | None,
