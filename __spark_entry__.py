@@ -354,6 +354,41 @@ def _q_bm25_range_topk(spark, sf_dir):
     )
 
 
+def _q_bm25_facet_stats(spark, sf_dir):
+    """NUMERIC STATS over the match set (docvalues.facet_stats): per
+    query, count/min/max/sum/avg of n_chars across matching docs — the
+    stats aggregation panel (result-set size, value range, average
+    length). Same relational plan as facet_counts with the int64
+    positional array gathered; avg derives from the exact int64 sum in
+    one double division (deterministic across plans). Oracle: the same
+    aggregation off the documents table."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.docvalues import (
+        build_docvalues,
+        facet_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_fstat_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_docvalues(docs, d, [("n_chars", "numeric")])
+    out = facet_stats(spark, queries, d, "n_chars")
+    return out.select(
+        "query_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("vmin").cast("long").alias("vmin"),
+        F.col("vmax").cast("long").alias("vmax"),
+        F.col("vsum").cast("long").alias("vsum"),
+        _r6("vavg").alias("vavg"),
+    )
+
+
 def _q_bm25_not_topk(spark, sf_dir):
     """MUST_NOT exclusion (wand._score_batch not_terms): queries carry
     positive terms (tokens 1-3) and NOT terms (token 4); docs containing
@@ -1083,6 +1118,27 @@ WITH {_SQL_POSTINGS},
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM scores)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+# numeric stats over the OR match set: n_chars count/min/max/sum/avg
+_SQL_BM25_FACET_STATS = f"""
+WITH {_SQL_POSTINGS},
+  queries AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, term FROM queries WHERE term <> ''),
+  matches AS (
+    SELECT DISTINCT q.query_id, p.doc_id
+    FROM qterms q JOIN postings p ON q.term = p.term)
+SELECT m.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(d.n_chars) AS BIGINT) AS vmin,
+       CAST(MAX(d.n_chars) AS BIGINT) AS vmax,
+       CAST(SUM(d.n_chars) AS BIGINT) AS vsum,
+       FLOOR((CAST(SUM(d.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS vavg
+FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1
 """
 
 # MUST_NOT: BM25 scores anti-joined against the NOT-term match set
@@ -2494,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_topk": _q_bm25_index_topk,
         "bm25_filter_topk": _q_bm25_filter_topk,
         "bm25_facet_counts": _q_bm25_facet_counts,
+        "bm25_facet_stats": _q_bm25_facet_stats,
         "bm25_not_topk": _q_bm25_not_topk,
         "bm25_range_topk": _q_bm25_range_topk,
         "bm25_search_topk": _q_bm25_search_topk,
@@ -2589,6 +2646,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_index_topk": _SQL_BM25_TOPK,
         "bm25_filter_topk": _SQL_BM25_FILTER_TOPK,
         "bm25_facet_counts": _SQL_BM25_FACET_COUNTS,
+        "bm25_facet_stats": _SQL_BM25_FACET_STATS,
         "bm25_not_topk": _SQL_BM25_NOT_TOPK,
         "bm25_range_topk": _SQL_BM25_RANGE_TOPK,
         "bm25_search_topk": _SQL_BM25_SEARCH_TOPK,

@@ -30,6 +30,7 @@ from similaripy_spark.fulltext.append import (  # noqa: F401
 from similaripy_spark.fulltext.docvalues import (  # noqa: F401
     build_docvalues,
     facet_counts,
+    facet_stats,
 )
 from similaripy_spark.fulltext.querylang import (  # noqa: F401
     parse_query,

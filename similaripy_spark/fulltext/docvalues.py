@@ -552,52 +552,33 @@ def filter_docs(
     return out
 
 
-def facet_counts(
+def match_set(
     spark: SparkSession,
     queries: DataFrame,
     index_dir: str,
-    field: str,
     mode: str = "or",
     term_pushdown_cap: int = 10000,
 ) -> DataFrame:
-    """Per-query match counts grouped by a doc-values field →
-    (query_id, value, n_docs) — the facet panel next to search results.
+    """The DISTINCT live (query_id, doc_id, shard) match set of a query
+    batch — the relation every facet/stats aggregation runs over.
 
-    Fully relational plan: (1) the query batch's DISTINCT terms filter the
-    segment scan (literal ``isin`` under ``term_pushdown_cap`` so the
-    predicate reaches the parquet row-group stats; a broadcast semi-join
-    above it), (2) decoded postings ⋈ query terms → the DISTINCT
-    (query_id, doc_id) match set (``mode='and'`` keeps docs matching every
-    distinct query term — a HAVING on the distinct-term count),
-    (3) tombstones anti-joined, (4) a per-shard cogroup gathers each
-    matched doc's uint16 code from the positional array (traffic ∝ matches
-    + sidecar bytes, never corpus text), (5) partial-aggregated
-    ``groupBy(query_id, code).count()`` ⋈ the broadcast dictionary.
-
-    Corpus-stat semantics match filtered retrieval: counts are over the
-    LIVE corpus (tombstones excluded), values NULL for docs with no
-    dictionary entry."""
+    (1) the batch's distinct terms filter the segment scan (literal
+    ``isin`` under ``term_pushdown_cap`` so the predicate reaches parquet
+    row-group stats; a broadcast semi-join above it), (2) decoded
+    postings ⋈ query terms; ``mode='and'`` keeps docs matching every
+    distinct query term (HAVING on the distinct-term count),
+    (3) tombstones anti-joined (LIVE corpus)."""
     from similaripy_spark.fulltext.index_build import read_segments
     from similaripy_spark.fulltext.index_merge import decode_segments
+    from similaripy_spark.fulltext.retrieve import _ensure_terms
 
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    check_docvalues_fresh(index_dir, [field])
-    if field_kind(index_dir, field) != "dict":
-        raise ValueError(
-            f"facet_counts needs a dictionary-encoded field; {field!r} is "
-            "numeric (bucket it into a dict field at build time to facet)"
-        )
     meta = read_meta(index_dir)
     shard_size = int(meta["shard_size"])
-
-    from similaripy_spark.fulltext.retrieve import _ensure_terms
-
     queries = _ensure_terms(queries)
     qterms = (
-        queries.select(
-            "query_id", F.explode("terms").alias("term")
-        )
+        queries.select("query_id", F.explode("terms").alias("term"))
         .filter(F.col("term") != "")
         .distinct()
     )
@@ -636,8 +617,47 @@ def facet_counts(
         matches = matches.join(
             read_tombstones(spark, index_dir), "doc_id", "left_anti"
         )
-    matches = matches.withColumn(
+    return matches.withColumn(
         "shard", (F.col("doc_id") / shard_size).cast("int")
+    )
+
+
+def facet_counts(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    field: str,
+    mode: str = "or",
+    term_pushdown_cap: int = 10000,
+) -> DataFrame:
+    """Per-query match counts grouped by a doc-values field →
+    (query_id, value, n_docs) — the facet panel next to search results.
+
+    Fully relational plan: (1) the query batch's DISTINCT terms filter the
+    segment scan (literal ``isin`` under ``term_pushdown_cap`` so the
+    predicate reaches the parquet row-group stats; a broadcast semi-join
+    above it), (2) decoded postings ⋈ query terms → the DISTINCT
+    (query_id, doc_id) match set (``mode='and'`` keeps docs matching every
+    distinct query term — a HAVING on the distinct-term count),
+    (3) tombstones anti-joined, (4) a per-shard cogroup gathers each
+    matched doc's uint16 code from the positional array (traffic ∝ matches
+    + sidecar bytes, never corpus text), (5) partial-aggregated
+    ``groupBy(query_id, code).count()`` ⋈ the broadcast dictionary.
+
+    Corpus-stat semantics match filtered retrieval: counts are over the
+    LIVE corpus (tombstones excluded), values NULL for docs with no
+    dictionary entry."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    check_docvalues_fresh(index_dir, [field])
+    if field_kind(index_dir, field) != "dict":
+        raise ValueError(
+            f"facet_counts needs a dictionary-encoded field; {field!r} is "
+            "numeric (bucket it into a dict field at build time to facet)"
+        )
+    matches = match_set(
+        spark, queries, index_dir, mode=mode,
+        term_pushdown_cap=term_pushdown_cap,
     )
     dv = read_codes(spark, index_dir, field)
 
@@ -686,4 +706,72 @@ def facet_counts(
         .agg(F.count("*").alias("n_docs"))
         .join(F.broadcast(dict_df), "code", "left")
         .select("query_id", "value", "n_docs")
+    )
+
+
+def facet_stats(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    field: str,
+    mode: str = "or",
+    term_pushdown_cap: int = 10000,
+) -> DataFrame:
+    """Per-query numeric statistics of a doc-values field over the match
+    set → (query_id, n_docs, vmin, vmax, vsum, vavg) — the stats
+    aggregation next to search results (result-set size, value range,
+    average length / recency). Same relational plan as facet_counts with
+    the int64 positional array gathered instead of dictionary codes;
+    NULL-valued docs (NUMERIC_NULL sentinel) are excluded from every
+    statistic, tombstones from the match set."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    check_docvalues_fresh(index_dir, [field])
+    if field_kind(index_dir, field) != "numeric":
+        raise ValueError(
+            f"facet_stats needs a numeric field; {field!r} is "
+            "dictionary-encoded (use facet_counts for value counts)"
+        )
+    matches = match_set(
+        spark, queries, index_dir, mode=mode,
+        term_pushdown_cap=term_pushdown_cap,
+    )
+    dv = read_codes(spark, index_dir, field)
+
+    def gather(m_pdf: pd.DataFrame, dv_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(m_pdf) == 0 or len(dv_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "v": pd.Series(dtype="int64"),
+                }
+            )
+        vals = np.frombuffer(dv_pdf["codes"].iloc[0], dtype=np.int64)
+        docs = m_pdf["doc_id"].to_numpy(np.int64)
+        v = vals[docs - int(dv_pdf["base_doc"].iloc[0])]
+        keep = v != NUMERIC_NULL
+        return pd.DataFrame(
+            {
+                "query_id": m_pdf["query_id"].to_numpy(np.int64)[keep],
+                "v": v[keep],
+            }
+        )
+
+    gathered = (
+        matches.groupBy("shard")
+        .cogroup(dv.groupBy("shard"))
+        .applyInPandas(gather, schema="query_id long, v long")
+    )
+    # vavg derives from the EXACT int64 sum in one division — F.avg's
+    # double accumulation is partial-agg-order dependent once values
+    # exceed 2^53 (epoch micros do), which would make the result
+    # nondeterministic across plans
+    return gathered.groupBy("query_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("v").alias("vsum"),
+    ).withColumn(
+        "vavg",
+        F.col("vsum").cast("double") / F.col("n_docs").cast("double"),
     )

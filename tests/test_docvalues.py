@@ -326,6 +326,44 @@ def test_facet_counts_match_relational(spark, corpus, queries, indexed,
     assert len(got) > 0
 
 
+def test_facet_stats_match_relational(spark, corpus, queries, indexed):
+    from similaripy_spark.fulltext.docvalues import facet_stats
+
+    got = {
+        r.query_id: (r.n_docs, r.vmin, r.vmax, r.vsum, round(r.vavg, 9))
+        for r in facet_stats(
+            spark, queries, indexed, "warc_ts"
+        ).collect()
+    }
+    qt = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    m = (
+        qt.join(build_postings(corpus).select("term", "doc_id"), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .join(
+            corpus.select(
+                "doc_id", F.unix_micros("warc_ts").alias("v")
+            ),
+            "doc_id",
+        )
+    )
+    want = {
+        r.query_id: (
+            r.n, r.mn, r.mx, r.sm, round(r.sm / r.n, 9)
+        )
+        for r in m.groupBy("query_id").agg(
+            F.count("*").alias("n"), F.min("v").alias("mn"),
+            F.max("v").alias("mx"), F.sum("v").alias("sm"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # dict fields are rejected
+    with pytest.raises(ValueError):
+        facet_stats(spark, queries, indexed, "lang")
+
+
 def test_facet_counts_exclude_tombstones(
     spark, corpus, queries, tmp_path_factory
 ):
