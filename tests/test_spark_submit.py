@@ -158,6 +158,28 @@ def test_spark_submit_build_then_query(spark, tmp_path):
     assert fc.count() > 0
     assert {"query_id", "value", "n_docs"} == set(fc.columns)
 
+    # search leg: query-string grammar through the CLI (phrase + filter,
+    # served by the positional sidecar + docvalues built above)
+    first_two = (
+        spark.read.parquet(pages_p)
+        .filter("doc_id = 0")
+        .select(F.slice(toks, 1, 2).alias("t"))
+        .first()["t"]
+    )
+    out_s_p = str(tmp_path / "search_results")
+    r = subprocess.run(
+        base + ["search", "--index", index_p,
+                "--q", f'"{first_two[0]} {first_two[1]}" lang:en,xx',
+                "--out", out_s_p, "--k", "300"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    sr = spark.read.parquet(out_s_p)
+    assert sr.count() > 0
+    # k covers the corpus, so the phrase's own source doc must appear
+    assert 0 in {row["doc_id"] for row in sr.collect()}
+
     # mlt leg: seed docs as queries through the CLI (comma-list seeds)
     out3_p = str(tmp_path / "mlt_results")
     r = subprocess.run(

@@ -113,6 +113,16 @@ def main(argv=None):
         "open end; ints or ISO timestamps",
     )
 
+    s = sub.add_parser(
+        "search",
+        help="one query string through the Lucene-flavored grammar: "
+        'terms, -term, "phrase", field:v1,v2, field:[lo TO hi]',
+    )
+    s.add_argument("--index", required=True)
+    s.add_argument("--q", required=True, help="the query string")
+    s.add_argument("--out", required=True)
+    s.add_argument("--k", type=int, default=10)
+
     fc = sub.add_parser(
         "facets",
         help="per-query match counts grouped by a doc-values field",
@@ -227,6 +237,12 @@ def main(argv=None):
                        min_match=args.min_match, filter=filt or None)
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"queried": args.index, "out": args.out}))
+    elif args.cmd == "search":
+        from similaripy_spark.fulltext.querylang import search as qsearch
+
+        out = qsearch(spark, args.index, args.q, k=args.k)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"search": args.q, "out": args.out}))
     elif args.cmd == "facets":
         from similaripy_spark.fulltext.docvalues import facet_counts
 
