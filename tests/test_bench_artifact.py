@@ -128,6 +128,18 @@ def test_best_clean_pair_ignores_storm_and_seeded_samples(tmp_path,
              n_conc=None, max_partition_bytes="128m",
              build_docs_per_sec=99999.0, queries_per_sec=9999.0,
              steal_pct=0.0, seeded=True),
+        # foreign_load: excluded even though faster — a concurrent
+        # workload re-warms shared caches after the protocol's cache drop
+        # and can ADD throughput (the one-sidedness axiom fails for cache
+        # effects), so such samples are invalid in either direction
+        dict(cpus=2, n_docs=300000, n_queries=15000, build_layout="shuffle",
+             n_conc=4, max_partition_bytes="128m",
+             build_docs_per_sec=44444.0, queries_per_sec=4444.0,
+             steal_pct=0.2, foreign_load="concurrent pytest"),
+        dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="shuffle",
+             n_conc=None, max_partition_bytes="128m",
+             build_docs_per_sec=55555.0, queries_per_sec=5555.0,
+             steal_pct=0.2, foreign_load="concurrent pytest"),
         # other split config: different job, ignored even though faster
         dict(cpus=8, n_docs=300000, n_queries=15000, build_layout="shuffle",
              n_conc=None, max_partition_bytes="16m",
