@@ -28,6 +28,7 @@ from similaripy_spark.fulltext.append import (  # noqa: F401
     append_to_index,
 )
 from similaripy_spark.fulltext.docvalues import (  # noqa: F401
+    append_docvalues,
     build_docvalues,
     facet_counts,
     facet_stats,

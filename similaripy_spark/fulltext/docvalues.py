@@ -163,49 +163,10 @@ def build_docvalues(
                 "the column at build time for high-cardinality use"
             )
         vals = sorted(vals)
-        code_df = spark.createDataFrame(
-            [(v, i + 1) for i, v in enumerate(vals)],
-            T.StructType(
-                [
-                    T.StructField("__dv_value", T.StringType(), False),
-                    T.StructField("__dv_code", T.IntegerType(), False),
-                ]
-            ),
-        )
-        coded = (
-            pages.select(
-                F.col(id_col).cast("long").alias("doc_id"),
-                F.col(field).cast("string").alias("__dv_value"),
-            )
-            .join(F.broadcast(code_df), "__dv_value", "left")
-            .select(
-                (F.col("doc_id") / shard_size).cast("int").alias("shard"),
-                (F.col("doc_id") % shard_size).cast("int").alias("off"),
-                F.coalesce(F.col("__dv_code"), F.lit(0)).alias("code"),
-            )
-        )
-
-        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = int(pdf["shard"].iloc[0])
-            arr = np.zeros(shard_size, np.uint16)
-            arr[pdf["off"].to_numpy(np.int64)] = pdf["code"].to_numpy(
-                np.uint16
-            )
-            return pd.DataFrame(
-                {
-                    "shard": np.array([shard], np.int32),
-                    "base_doc": np.array(
-                        [shard * shard_size], np.int64
-                    ),
-                    "n": np.array([len(pdf)], np.int32),
-                    "codes": [arr.tobytes()],
-                }
-            )
-
         out = os.path.join(_dv_dir(index_dir), field)
         staged = commit.stage_path(out)
-        coded.groupBy("shard").applyInPandas(
-            pack, schema=CODES_SCHEMA
+        _pack_dict_codes(
+            pages, field, id_col, shard_size, vals, spark
         ).write.mode("overwrite").parquet(os.path.join(staged, "codes"))
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -241,11 +202,57 @@ def build_docvalues(
     return side_meta
 
 
-def _build_numeric_field(
-    pages: DataFrame, index_dir: str, field: str, id_col: str,
-    shard_size: int, commit,
-) -> None:
-    """Pack a numeric attribute into dense per-shard int64 arrays.
+def _pack_dict_codes(
+    pages: DataFrame, field: str, id_col: str, shard_size: int,
+    vals: list, spark: SparkSession,
+) -> DataFrame:
+    """(shard, base_doc, n, codes) rows: dense per-shard uint16 arrays
+    coding ``field`` against the given ordered dictionary (code i+1 =
+    vals[i]; 0 = NULL / absent)."""
+    code_df = spark.createDataFrame(
+        [(v, i + 1) for i, v in enumerate(vals)],
+        T.StructType(
+            [
+                T.StructField("__dv_value", T.StringType(), False),
+                T.StructField("__dv_code", T.IntegerType(), False),
+            ]
+        ),
+    )
+    coded = (
+        pages.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(field).cast("string").alias("__dv_value"),
+        )
+        .join(F.broadcast(code_df), "__dv_value", "left")
+        .select(
+            (F.col("doc_id") / shard_size).cast("int").alias("shard"),
+            (F.col("doc_id") % shard_size).cast("int").alias("off"),
+            F.coalesce(F.col("__dv_code"), F.lit(0)).alias("code"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        arr = np.zeros(shard_size, np.uint16)
+        arr[pdf["off"].to_numpy(np.int64)] = pdf["code"].to_numpy(
+            np.uint16
+        )
+        return pd.DataFrame(
+            {
+                "shard": np.array([shard], np.int32),
+                "base_doc": np.array([shard * shard_size], np.int64),
+                "n": np.array([len(pdf)], np.int32),
+                "codes": [arr.tobytes()],
+            }
+        )
+
+    return coded.groupBy("shard").applyInPandas(pack, schema=CODES_SCHEMA)
+
+
+def _pack_numeric_codes(
+    pages: DataFrame, field: str, id_col: str, shard_size: int,
+) -> DataFrame:
+    """(shard, base_doc, n, codes) rows: dense per-shard int64 arrays.
     Timestamps become epoch microseconds; anything else is cast to long.
     NULL / absent docs store NUMERIC_NULL, masked in the kernel."""
     ftype = dict(pages.dtypes).get(field)
@@ -277,10 +284,17 @@ def _build_numeric_field(
             }
         )
 
+    return coded.groupBy("shard").applyInPandas(pack, schema=CODES_SCHEMA)
+
+
+def _build_numeric_field(
+    pages: DataFrame, index_dir: str, field: str, id_col: str,
+    shard_size: int, commit,
+) -> None:
     out = os.path.join(_dv_dir(index_dir), field)
     staged = commit.stage_path(out)
-    coded.groupBy("shard").applyInPandas(
-        pack, schema=CODES_SCHEMA
+    _pack_numeric_codes(
+        pages, field, id_col, shard_size
     ).write.mode("overwrite").parquet(os.path.join(staged, "codes"))
     commit.commit_dir(staged, out)
 
@@ -299,6 +313,161 @@ def to_epoch_micros(v) -> int:
     if isinstance(v, (int, np.integer)):
         return int(v)
     return int(pd.Timestamp(v).value // 1000)
+
+
+def append_docvalues(
+    delta_pages: DataFrame,
+    index_dir: str,
+    fields=None,
+    id_col: str = "doc_id",
+    max_cardinality: int = MAX_CARDINALITY,
+) -> dict:
+    """Catch the doc-values sidecar up to an appended index WITHOUT
+    re-scanning the committed corpus (the docvalues twin of
+    positional.append_positions).
+
+    ``append_to_index`` only ever opens NEW shards, and the sidecar is
+    positioned by the same shard mapping — so the delta packs its own
+    shards' arrays and no committed row is rewritten. Dictionary fields
+    grow APPEND-ONLY: delta values missing from the dictionary get codes
+    AFTER the existing ones, so committed codes arrays stay valid and an
+    open reader's lookup table is never invalidated. Publish per field is
+    the same atomic stage→swap with the committed codes parquet files
+    HARDLINKED into the staged dir (zero copy). ``delta_pages`` must be
+    exactly the pages appended since the sidecar was built — cross-checked
+    by closing the sidecar→index doc-count gap exactly and requiring every
+    delta doc to land past the covered shard range. Returns the merged
+    sidecar meta (now fresh)."""
+    import shutil
+
+    meta = read_meta(index_dir)
+    side = docvalues_meta(index_dir)
+    if side is None:
+        raise StaleDocValuesError(
+            f"no docvalues sidecar under {index_dir}/docvalues — nothing "
+            "to append to; run build_docvalues first"
+        )
+    if fields is not None and set(fields) != set(side.get("fields", [])):
+        raise ValueError(
+            "append_docvalues must cover every sidecar field (freshness "
+            f"is sidecar-global): sidecar has {side.get('fields')}, got "
+            f"{sorted(fields)}"
+        )
+    fields = list(side.get("fields", []))
+    cur = (int(meta.get("n_epochs", 1)), int(meta["n_docs"]))
+    got = (int(side.get("n_epochs", 1)), int(side.get("n_docs", -1)))
+    if got == cur:
+        raise ValueError("docvalues sidecar is already fresh — nothing "
+                         "to append")
+    shard_size = int(meta["shard_size"])
+    if int(side["shard_size"]) != shard_size:
+        raise ValueError(
+            "sidecar shard_size differs from the index — rebuild with "
+            "build_docvalues"
+        )
+    n_delta = delta_pages.count()
+    gap = int(meta["n_docs"]) - int(side["n_docs"])
+    if n_delta != gap:
+        raise ValueError(
+            f"delta has {n_delta} docs but the index grew by {gap} since "
+            "the sidecar was built — pass exactly the appended pages, or "
+            "rebuild with build_docvalues"
+        )
+    min_doc = delta_pages.agg(F.min(id_col)).first()[0]
+    if min_doc is None:
+        raise ValueError("delta_pages is empty")
+    covered = -(-int(side["n_docs"]) // shard_size)  # ceil
+    if min_doc // shard_size < covered:
+        raise ValueError(
+            f"delta doc_ids reach into shard {min_doc // shard_size} but "
+            f"the sidecar already covers shards < {covered} — committed "
+            "shards are immutable; rebuild with build_docvalues"
+        )
+    spark = delta_pages.sparkSession
+    commit = LocalFSCommitProtocol()
+    epoch = int(meta.get("n_epochs", 1))
+    field_meta = dict(side.get("field_meta", {}))
+    for field in fields:
+        kind = field_meta.get(field, {}).get("kind", "dict")
+        out = os.path.join(_dv_dir(index_dir), field)
+        cur_dir = _field_dir(index_dir, field)
+        staged = commit.stage_path(out)
+        delta_dir = staged + "__delta"
+        if os.path.isdir(delta_dir):
+            shutil.rmtree(delta_dir)
+        if kind == "numeric":
+            _pack_numeric_codes(
+                delta_pages, field, id_col, shard_size
+            ).write.mode("overwrite").parquet(delta_dir)
+        else:
+            old_vals = load_dict(index_dir, field)
+            known = set(old_vals)
+            new_vals = sorted(
+                v
+                for (v,) in delta_pages.select(
+                    F.col(field).cast("string")
+                )
+                .filter(F.col(field).isNotNull())
+                .distinct()
+                .collect()
+                if v not in known
+            )
+            vals = old_vals + new_vals  # append-only: old codes stable
+            if len(vals) > max_cardinality:
+                raise ValueError(
+                    f"field {field!r} exceeds {max_cardinality} distinct "
+                    "values after the append"
+                )
+            _pack_dict_codes(
+                delta_pages, field, id_col, shard_size, vals, spark
+            ).write.mode("overwrite").parquet(delta_dir)
+        os.makedirs(os.path.join(staged, "codes"), exist_ok=True)
+        for name in os.listdir(os.path.join(cur_dir, "codes")):
+            if name.endswith(".parquet"):
+                os.link(
+                    os.path.join(cur_dir, "codes", name),
+                    os.path.join(staged, "codes", name),
+                )
+        for name in os.listdir(delta_dir):
+            if name.endswith(".parquet"):
+                os.replace(
+                    os.path.join(delta_dir, name),
+                    os.path.join(
+                        staged, "codes", f"epoch{epoch:05d}-{name}"
+                    ),
+                )
+        if kind == "numeric":
+            pass
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table(
+                    {
+                        "code": pa.array(
+                            range(1, len(vals) + 1), type=pa.int32()
+                        ),
+                        "value": pa.array(vals, type=pa.string()),
+                    }
+                ),
+                os.path.join(staged, "dict.parquet"),
+            )
+            field_meta[field] = {"kind": "dict", "cardinality": len(vals)}
+        commit.commit_dir(staged, out)
+        shutil.rmtree(delta_dir, ignore_errors=True)
+    side_meta = {
+        "n_epochs": epoch,
+        "n_docs": int(meta["n_docs"]),
+        "shard_size": shard_size,
+        "field_meta": field_meta,
+        "fields": sorted(field_meta),
+    }
+    tmp = os.path.join(_dv_dir(index_dir), "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(side_meta, f)
+    os.replace(tmp, os.path.join(_dv_dir(index_dir), "_meta.json"))
+    return side_meta
 
 
 def docvalues_meta(index_dir: str) -> dict | None:

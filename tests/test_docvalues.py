@@ -201,6 +201,62 @@ def test_empty_and_unknown_filters(spark, queries, indexed):
                     path="term_major")
 
 
+def test_append_docvalues_matches_rebuild(
+    spark, corpus, queries, tmp_path_factory
+):
+    """append_docvalues catches the sidecar up to an appended index:
+    filtered results equal a full-corpus twin, the old dictionary stays a
+    PREFIX of the merged one (append-only codes — an open reader's lut
+    stays valid), and the misuse paths fail loudly."""
+    from similaripy_spark.fulltext.append import append_to_index
+    from similaripy_spark.fulltext.docvalues import (
+        append_docvalues,
+        load_dict,
+    )
+
+    # a dict value that only exists in the delta, to force dictionary
+    # growth through the append path
+    pages = corpus.withColumn(
+        "bucket",
+        F.when(
+            (F.col("doc_id") >= 1024) & (F.col("doc_id") % 5 == 0),
+            F.lit("zonly"),
+        ).otherwise(F.concat(F.lit("b"), F.col("doc_id") % 3)),
+    )
+    base = pages.filter(F.col("doc_id") < 1024)
+    delta = pages.filter(F.col("doc_id") >= 1024)
+    d = str(tmp_path_factory.mktemp("dvapp") / "idx")
+    IndexBuilder(
+        d, n_groups=2, shard_size=256, weight_scheme="raw"
+    ).build(base)
+    build_docvalues(base, d, ["bucket", ("warc_ts", "numeric")])
+    old_dict = load_dict(d, "bucket")
+    append_to_index(spark, d, delta)
+    with pytest.raises(ValueError):
+        append_docvalues(delta, d, fields=["bucket"])  # partial set
+    with pytest.raises(ValueError):
+        append_docvalues(base, d)  # wrong delta (count gap mismatch)
+    side = append_docvalues(delta, d)
+    assert side["n_docs"] == N_DOCS
+    # append-only dictionary: old codes stable, new value appended
+    new_dict = load_dict(d, "bucket")
+    assert new_dict[: len(old_dict)] == old_dict
+    assert "zonly" in new_dict
+    handle = open_index(spark, d, cache=False)
+    want = _oracle(pages, queries, F.col("bucket") == "zonly")
+    got = _rows(handle.topk(queries, k=5, filter={"bucket": ["zonly"]}))
+    _assert_same_ranking(got, want)
+    lo = int(
+        pages.selectExpr("percentile(unix_micros(warc_ts), 0.5)").first()[0]
+    )
+    want_r = _oracle(pages, queries, F.unix_micros("warc_ts") >= lo)
+    got_r = _rows(handle.topk(queries, k=5, filter={"warc_ts": (lo, None)}))
+    _assert_same_ranking(got_r, want_r)
+    # already fresh — nothing to append
+    with pytest.raises(ValueError):
+        append_docvalues(delta, d)
+
+
 def test_stale_after_append_raises(spark, corpus, queries, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("dvstale") / "idx")
     base = corpus.filter(F.col("doc_id") < 1024)
