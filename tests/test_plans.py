@@ -172,3 +172,36 @@ def test_factored_build_plan_has_no_stats_join(spark):
     assert plan.count("Exchange") == 1  # the doc→shard repartition only
     assert "Join" not in plan
     assert "Aggregate" not in plan
+
+
+def test_dv_filter_adds_no_exchange(spark, tmp_path):
+    """A doc-values filter must ride the EXISTING per-shard cogroup
+    shuffle: its per-shard sentinel rows enter through a Union below the
+    same exchange, so the filtered plan has exactly the plain plan's
+    exchange count, one extra parquet scan (the codes sidecar), and one
+    Union — no broadcast of corpus-sized state, no extra shuffle
+    (docvalues.py delivery contract)."""
+    from similaripy_spark.fulltext.docvalues import build_docvalues
+    from similaripy_spark.fulltext.index_build import (
+        IndexBuilder,
+        read_segments,
+    )
+    from similaripy_spark.fulltext.wand import segment_topk
+    from similaripy_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 600, vocab_size=300, partitions=4)
+    d = str(tmp_path / "idx")
+    IndexBuilder(d, n_groups=2, shard_size=256).build(pages)
+    build_docvalues(pages, d, ["lang"])
+    q = pages.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.split("text", " ").alias("terms"),
+    )
+    seg = read_segments(spark, d)
+    plain = physical_plan(segment_topk(seg, q, k=5, index_dir=d))
+    filt = physical_plan(
+        segment_topk(seg, q, k=5, index_dir=d, dv_filter={"lang": ["en"]})
+    )
+    assert filt.count("Exchange") == plain.count("Exchange")
+    assert filt.count("Scan parquet") == plain.count("Scan parquet") + 1
+    assert "Union" in filt and "Union" not in plain
