@@ -193,3 +193,75 @@ def test_spark_submit_build_then_query(spark, tmp_path):
     mlt = spark.read.parquet(out3_p)
     assert mlt.count() == 15  # 3 seeds x k=5
     assert mlt.filter("doc_id = query_id").count() == 0
+
+
+@pytest.mark.slow
+def test_spark_submit_append_with_sidecars(spark, tmp_path):
+    """CLI append: raw-scheme base build with both sidecars, then ONE
+    `append` invocation ingests the delta AND catches both sidecars up;
+    a filtered query over the appended index returns docs from BOTH
+    epochs, none violating the filter."""
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("no spark-submit binary available")
+
+    from pyspark.sql import functions as F
+
+    from similaripy_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 512, vocab_size=300, partitions=4)
+    base_p, delta_p = str(tmp_path / "base"), str(tmp_path / "delta")
+    pages.filter(F.col("doc_id") < 256).write.parquet(base_p)
+    pages.filter(F.col("doc_id") >= 256).write.parquet(delta_p)
+    queries_p = str(tmp_path / "queries")
+    pages.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.split("text", " ").alias("terms"),
+    ).write.parquet(queries_p)
+    index_p = str(tmp_path / "index")
+    out_p = str(tmp_path / "results")
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    base = [
+        submit, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "index_job.py"),
+    ]
+    r = subprocess.run(
+        base + ["build", "--pages", base_p, "--index", index_p,
+                "--groups", "2", "--shard-size", "256",
+                "--weight-scheme", "raw", "--positions",
+                "--docvalues", "lang"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        base + ["append", "--index", index_p, "--pages", delta_p,
+                "--positions", "--docvalues"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    appended = json.loads(r.stdout.strip().splitlines()[-1])
+    assert appended["n_docs"] == 512 and appended["n_epochs"] == 2
+    r = subprocess.run(
+        base + ["query", "--index", index_p, "--queries", queries_p,
+                "--out", out_p, "--k", "20", "--filter", "lang=en"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out_p).collect()
+    en = {
+        row["doc_id"]
+        for row in pages.filter("lang = 'en'").select("doc_id").collect()
+    }
+    assert got and all(row["doc_id"] in en for row in got)
+    assert any(row["doc_id"] >= 256 for row in got)  # appended epoch served

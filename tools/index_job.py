@@ -53,10 +53,13 @@ def main(argv=None):
     )
     b.add_argument("--groups", type=int, default=64)
     b.add_argument(
-        "--weight-scheme", choices=["factored", "prod"], default="factored",
+        "--weight-scheme", choices=["factored", "raw", "prod"],
+        default="factored",
         help="factored (default): blocks store the doc-local BM25 factor, "
         "idf applied at query time — no vocabulary-sized join anywhere in "
-        "the build; prod: store idf*tf products (round-3 format)",
+        "the build; raw: blocks store (tf, dl), tf-part derived in-kernel "
+        "at the CURRENT avgdl — required for `append`; prod: store idf*tf "
+        "products (round-3 format)",
     )
     b.add_argument("--lang", default=None)
     b.add_argument("--no-resume", action="store_true")
@@ -132,6 +135,27 @@ def main(argv=None):
     fc.add_argument("--field", required=True)
     fc.add_argument("--out", required=True)
     fc.add_argument("--mode", choices=["or", "and"], default="or")
+
+    ap = sub.add_parser(
+        "append",
+        help="exact append-only ingestion into a weight_scheme='raw' "
+        "index (committed blocks never rewritten); optionally catches "
+        "the positional / doc-values sidecars up in the same run",
+    )
+    ap.add_argument("--index", required=True)
+    ap.add_argument(
+        "--pages", required=True,
+        help="EXACTLY the pages appended since the last epoch "
+        "(parquet path or iceberg:<catalog.db.table>)",
+    )
+    ap.add_argument(
+        "--snapshot-id", type=int, default=None,
+        help="pin the Iceberg snapshot of the delta read",
+    )
+    ap.add_argument("--positions", action="store_true",
+                    help="also append the positional sidecar")
+    ap.add_argument("--docvalues", action="store_true",
+                    help="also append the doc-values sidecar (all fields)")
 
     m = sub.add_parser("merge")
     m.add_argument("--indexes", nargs="+", required=True)
@@ -252,6 +276,31 @@ def main(argv=None):
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"facets": args.index, "field": args.field,
                           "out": args.out}))
+    elif args.cmd == "append":
+        from similaripy_spark.fulltext.append import append_to_index
+        from similaripy_spark.sources.iceberg import read_pages_table
+
+        delta = read_pages_table(spark, args.pages,
+                                 snapshot_id=args.snapshot_id)
+        meta = append_to_index(spark, args.index, delta)
+        if args.positions:
+            from similaripy_spark.fulltext.positional import (
+                append_positions,
+            )
+
+            append_positions(delta, args.index)
+        if args.docvalues:
+            from similaripy_spark.fulltext.docvalues import (
+                append_docvalues,
+            )
+
+            append_docvalues(delta, args.index)
+        print(json.dumps({
+            "appended": args.index,
+            "positions": args.positions,
+            "docvalues": args.docvalues,
+            **{k: meta[k] for k in ("n_docs", "n_shards", "n_epochs")},
+        }))
     elif args.cmd == "merge":
         from similaripy_spark.fulltext.index_merge import merge_indexes
 
