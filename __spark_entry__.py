@@ -389,6 +389,35 @@ def _q_bm25_facet_stats(spark, sf_dir):
     )
 
 
+def _q_bm25_sort_topk(spark, sf_dir):
+    """SORT-BY-ATTRIBUTE retrieval (docvalues.sort_topk — Lucene's
+    sort-by-field): top-10 matches per query ordered by n_chars DESC
+    (longest-first result page), doc_id tiebreak — relevance replaced by
+    a doc attribute, no posting weight decoded. Relational plan: match
+    set → per-shard int64 gather → distributed top-k. Oracle: the same
+    ORDER BY off the documents table."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.docvalues import (
+        build_docvalues,
+        sort_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_sort_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_docvalues(docs, d, [("n_chars", "numeric")])
+    out = sort_topk(spark, queries, d, "n_chars", k=10)
+    return out.select(
+        "query_id", "doc_id", F.col("value").cast("long").alias("value")
+    )
+
+
 def _q_bm25_not_topk(spark, sf_dir):
     """MUST_NOT exclusion (wand._score_batch not_terms): queries carry
     positive terms (tokens 1-3) and NOT terms (token 4); docs containing
@@ -1118,6 +1147,26 @@ WITH {_SQL_POSTINGS},
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM scores)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+# sort-by-attribute: top-10 matches per query by n_chars DESC, doc_id ties
+_SQL_BM25_SORT_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  queries AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, term FROM queries WHERE term <> ''),
+  matches AS (
+    SELECT DISTINCT q.query_id, p.doc_id
+    FROM qterms q JOIN postings p ON q.term = p.term),
+  ranked AS (
+    SELECT m.query_id, m.doc_id, d.n_chars AS value,
+           ROW_NUMBER() OVER (PARTITION BY m.query_id
+                              ORDER BY d.n_chars DESC, m.doc_id ASC) AS rn
+    FROM matches m JOIN documents d ON d.doc_id = m.doc_id)
+SELECT query_id, doc_id, CAST(value AS BIGINT) AS value
+FROM ranked WHERE rn <= 10
 """
 
 # numeric stats over the OR match set: n_chars count/min/max/sum/avg
@@ -2551,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filter_topk": _q_bm25_filter_topk,
         "bm25_facet_counts": _q_bm25_facet_counts,
         "bm25_facet_stats": _q_bm25_facet_stats,
+        "bm25_sort_topk": _q_bm25_sort_topk,
         "bm25_not_topk": _q_bm25_not_topk,
         "bm25_range_topk": _q_bm25_range_topk,
         "bm25_search_topk": _q_bm25_search_topk,
@@ -2647,6 +2697,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_filter_topk": _SQL_BM25_FILTER_TOPK,
         "bm25_facet_counts": _SQL_BM25_FACET_COUNTS,
         "bm25_facet_stats": _SQL_BM25_FACET_STATS,
+        "bm25_sort_topk": _SQL_BM25_SORT_TOPK,
         "bm25_not_topk": _SQL_BM25_NOT_TOPK,
         "bm25_range_topk": _SQL_BM25_RANGE_TOPK,
         "bm25_search_topk": _SQL_BM25_SEARCH_TOPK,

@@ -32,6 +32,7 @@ from similaripy_spark.fulltext.docvalues import (  # noqa: F401
     build_docvalues,
     facet_counts,
     facet_stats,
+    sort_topk,
 )
 from similaripy_spark.fulltext.querylang import (  # noqa: F401
     parse_query,

@@ -878,6 +878,83 @@ def facet_counts(
     )
 
 
+def sort_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    field: str,
+    k: int = 10,
+    mode: str = "or",
+    ascending: bool = False,
+    dv_filter: dict | None = None,
+    term_pushdown_cap: int = 10000,
+) -> DataFrame:
+    """Top-k matches per query ORDERED BY a numeric doc-values field
+    (Lucene's sort-by-field — newest-first / longest-first result pages)
+    → (query_id, doc_id, value, rank). Ties break doc_id ASC, the
+    engine-wide rule. Docs with a NULL attribute never rank (SQL ORDER BY
+    over an inner attribute join). ``dv_filter`` composes (filter_docs).
+
+    Relational, candidate-driven: the match set (term-pushdown scan,
+    OR/AND, tombstones anti-joined) → per-shard cogroup gather of the
+    int64 value → exact distributed top-k. At web scale the cost is the
+    match set + sidecar traffic — no posting weight is even decoded."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    check_docvalues_fresh(index_dir, [field])
+    if field_kind(index_dir, field) != "numeric":
+        raise ValueError(
+            f"sort_topk needs a numeric field; {field!r} is "
+            "dictionary-encoded"
+        )
+    from similaripy_spark.operators.topk import top_k
+
+    matches = match_set(
+        spark, queries, index_dir, mode=mode,
+        term_pushdown_cap=term_pushdown_cap,
+    )
+    if dv_filter:
+        matches = filter_docs(spark, matches, index_dir, dv_filter)
+    dv = read_codes(spark, index_dir, field)
+
+    def gather(m_pdf: pd.DataFrame, dv_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(m_pdf) == 0 or len(dv_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype="int64"),
+                }
+            )
+        vals = np.frombuffer(dv_pdf["codes"].iloc[0], dtype=np.int64)
+        docs = m_pdf["doc_id"].to_numpy(np.int64)
+        v = vals[docs - int(dv_pdf["base_doc"].iloc[0])]
+        keep = v != NUMERIC_NULL
+        return pd.DataFrame(
+            {
+                "query_id": m_pdf["query_id"].to_numpy(np.int64)[keep],
+                "doc_id": docs[keep],
+                "value": v[keep],
+            }
+        )
+
+    gathered = (
+        matches.groupBy("shard")
+        .cogroup(dv.groupBy("shard"))
+        .applyInPandas(
+            gather, schema="query_id long, doc_id long, value long"
+        )
+    )
+    # top_k keeps the LARGEST ordering key; ascending sorts negate it
+    signed = (-F.col("value")) if ascending else F.col("value")
+    ranked = top_k(
+        gathered.withColumn("__ord", signed.cast("double")),
+        k, group="query_id", order_value="__ord",
+        tiebreak="doc_id", keep_rank=True,
+    )
+    return ranked.select("query_id", "doc_id", "value", "rank")
+
+
 def facet_stats(
     spark: SparkSession,
     queries: DataFrame,

@@ -420,6 +420,68 @@ def test_facet_stats_match_relational(spark, corpus, queries, indexed):
         facet_stats(spark, queries, indexed, "lang")
 
 
+@pytest.mark.parametrize("ascending", [False, True])
+def test_sort_topk_matches_relational(spark, corpus, queries, indexed,
+                                      ascending):
+    """Sort-by-attribute retrieval: top-k matches per query ordered by
+    the numeric doc-value (newest/oldest-first), doc_id tiebreak."""
+    from similaripy_spark.fulltext.docvalues import sort_topk
+
+    got = [
+        (r.query_id, r.doc_id, r.value)
+        for r in sort_topk(
+            spark, queries, indexed, "warc_ts", k=5, ascending=ascending
+        ).orderBy("query_id", "rank").collect()
+    ]
+    qt = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    m = (
+        qt.join(build_postings(corpus).select("term", "doc_id"), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+        .join(
+            corpus.select(
+                "doc_id", F.unix_micros("warc_ts").alias("value")
+            ),
+            "doc_id",
+        )
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    order = (
+        [SF.col("value").asc(), SF.col("doc_id").asc()]
+        if ascending
+        else [SF.col("value").desc(), SF.col("doc_id").asc()]
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    want = [
+        (r.query_id, r.doc_id, r.value)
+        for r in m.withColumn("rank", SF.row_number().over(w))
+        .filter(SF.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_sort_topk_composes_with_filter(spark, corpus, queries, indexed):
+    from similaripy_spark.fulltext.docvalues import sort_topk
+
+    got = sort_topk(
+        spark, queries, indexed, "warc_ts", k=5,
+        dv_filter={"lang": ["xx"]},
+    ).collect()
+    xx = {
+        r.doc_id
+        for r in corpus.filter("lang='xx'").select("doc_id").collect()
+    }
+    assert got and all(r.doc_id in xx for r in got)
+    with pytest.raises(ValueError):
+        sort_topk(spark, queries, indexed, "lang", k=5)
+
+
 def test_facet_counts_exclude_tombstones(
     spark, corpus, queries, tmp_path_factory
 ):
