@@ -130,6 +130,23 @@ def build_docvalues(
     spark = pages.sparkSession
     meta = read_meta(index_dir)
     shard_size = int(meta["shard_size"])
+    cur = (int(meta.get("n_epochs", 1)), int(meta["n_docs"]))
+    prior0 = docvalues_meta(index_dir)
+    if prior0 is not None:
+        got = (int(prior0.get("n_epochs", 1)),
+               int(prior0.get("n_docs", -1)))
+        names = {s if isinstance(s, str) else s[0] for s in fields}
+        untouched = set(prior0.get("fields", [])) - names
+        if got != cur and untouched:
+            # rebuilding a SUBSET against a grown index would stamp the
+            # sidecar-global freshness pin over fields whose codes arrays
+            # still stop at the old corpus — the exact silent staleness
+            # the pin exists to prevent
+            raise StaleDocValuesError(
+                f"index moved to epoch/docs {cur} since the sidecar was "
+                f"built at {got}: rebuild ALL sidecar fields "
+                f"(missing {sorted(untouched)}) or use append_docvalues"
+            )
     commit = LocalFSCommitProtocol()
     field_meta = {}
     for spec in fields:
@@ -402,15 +419,23 @@ def append_docvalues(
         else:
             old_vals = load_dict(index_dir, field)
             known = set(old_vals)
-            new_vals = sorted(
-                v
-                for (v,) in delta_pages.select(
-                    F.col(field).cast("string")
-                )
+            # bounded collect (build_docvalues' own guard): an
+            # accidentally high-cardinality delta column must fail with
+            # the cardinality error, not OOM the driver
+            delta_distinct = (
+                delta_pages.select(F.col(field).cast("string"))
                 .filter(F.col(field).isNotNull())
                 .distinct()
+                .limit(max_cardinality + 1)
                 .collect()
-                if v not in known
+            )
+            if len(delta_distinct) > max_cardinality:
+                raise ValueError(
+                    f"field {field!r} exceeds {max_cardinality} distinct "
+                    "values in the delta alone"
+                )
+            new_vals = sorted(
+                v for (v,) in delta_distinct if v not in known
             )
             vals = old_vals + new_vals  # append-only: old codes stable
             if len(vals) > max_cardinality:
@@ -422,8 +447,16 @@ def append_docvalues(
                 delta_pages, field, id_col, shard_size, vals, spark
             ).write.mode("overwrite").parquet(delta_dir)
         os.makedirs(os.path.join(staged, "codes"), exist_ok=True)
+        # retry idempotence: a crash between this field's commit and the
+        # sidecar _meta.json write leaves THIS epoch's files already
+        # committed; hardlinking them and adding a fresh pack would
+        # duplicate every delta shard's row forever. Skip same-epoch
+        # files — the retry replaces them.
+        epoch_prefix = f"epoch{epoch:05d}-"
         for name in os.listdir(os.path.join(cur_dir, "codes")):
-            if name.endswith(".parquet"):
+            if name.endswith(".parquet") and not name.startswith(
+                epoch_prefix
+            ):
                 os.link(
                     os.path.join(cur_dir, "codes", name),
                     os.path.join(staged, "codes", name),
@@ -609,6 +642,14 @@ def resolve_filter(index_dir: str, dv_filter: dict) -> dict:
                     f"field {field!r} is dictionary-encoded — pass a list "
                     f"of values, got range {pred!r} (build the field with "
                     "kind='numeric' for range filters)"
+                )
+            if isinstance(pred, (str, bytes)):
+                # iterating a bare string would explode it into single
+                # characters and silently match nothing
+                raise ValueError(
+                    f"field {field!r} filter must be a LIST of values; "
+                    f"got the bare string {pred!r} — write "
+                    f"{{{field!r}: [{pred!r}]}}"
                 )
             specs[DV_TERM_PREFIX + field] = (
                 "dict", build_lut(index_dir, field, pred),
@@ -945,10 +986,14 @@ def sort_topk(
             gather, schema="query_id long, doc_id long, value long"
         )
     )
-    # top_k keeps the LARGEST ordering key; ascending sorts negate it
+    # top_k keeps the LARGEST ordering key; ascending sorts negate it.
+    # The key STAYS int64 — a double cast would collapse values differing
+    # above 2^53 (epoch nanos, snowflake IDs) into spurious doc_id-ordered
+    # ties. Negation is safe: NUMERIC_NULL (int64 min, the only
+    # non-negatable value) was filtered in the gather.
     signed = (-F.col("value")) if ascending else F.col("value")
     ranked = top_k(
-        gathered.withColumn("__ord", signed.cast("double")),
+        gathered.withColumn("__ord", signed),
         k, group="query_id", order_value="__ord",
         tiebreak="doc_id", keep_rank=True,
     )
@@ -1008,16 +1053,22 @@ def facet_stats(
         .cogroup(dv.groupBy("shard"))
         .applyInPandas(gather, schema="query_id long, v long")
     )
-    # vavg derives from the EXACT int64 sum in one division — F.avg's
-    # double accumulation is partial-agg-order dependent once values
-    # exceed 2^53 (epoch micros do), which would make the result
-    # nondeterministic across plans
+    # the sum accumulates in decimal(38,0): a LongType F.sum silently
+    # WRAPS on overflow in non-ANSI Spark, and epoch-microsecond values
+    # (~1.75e15/doc, the documented crawl-date use) overflow int64 once a
+    # match set passes ~5,300 docs. decimal(38,0) is exact to 10^38 —
+    # unreachable — and vavg derives from it in ONE division, so the
+    # result is also deterministic across plans (F.avg's double
+    # accumulation is partial-agg-order dependent above 2^53).
     return gathered.groupBy("query_id").agg(
         F.count("*").alias("n_docs"),
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
-        F.sum("v").alias("vsum"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("vsum"),
     ).withColumn(
+        # round the exact sum to double FIRST, then one double division —
+        # the same expression shape as the SQL oracle's
+        # CAST(SUM(v) AS DOUBLE) / COUNT(*), bit-identical across engines
         "vavg",
         F.col("vsum").cast("double") / F.col("n_docs").cast("double"),
     )

@@ -102,13 +102,46 @@ def parse_query(q: str) -> dict:
     rest = _PHRASE_RE.sub(grab_phrase, q)
     filters: dict = {}
 
+    def _narrow(field, pred):
+        """Repeated clauses on one field INTERSECT (every clause narrows —
+        Lucene's two MUST clauses), never silently replace: IN-lists
+        intersect value sets, ranges intersect intervals. Mixed
+        list/range on one field is a kind mismatch and errors."""
+        old = filters.get(field)
+        if old is None:
+            filters[field] = pred
+            return
+        if isinstance(old, tuple) != isinstance(pred, tuple):
+            raise ValueError(
+                f"field {field!r} appears with both an IN-list and a "
+                "range clause — one field has one kind"
+            )
+        if isinstance(pred, tuple):
+            # bounds may mix ints and ISO strings; compare through the
+            # same epoch-micros coercion resolve_filter applies
+            from similaripy_spark.fulltext.docvalues import (
+                to_epoch_micros,
+            )
+
+            lo = max(
+                (b for b in (old[0], pred[0]) if b is not None),
+                key=to_epoch_micros, default=None,
+            )
+            hi = min(
+                (b for b in (old[1], pred[1]) if b is not None),
+                key=to_epoch_micros, default=None,
+            )
+            filters[field] = (lo, hi)
+        else:
+            filters[field] = [v for v in old if v in set(pred)]
+
     def grab_range(m):
         if m.group(1):
             raise ValueError(
                 f"negated range filter {m.group(0)!r} is not supported "
                 "(the grammar is narrowing-only)"
             )
-        filters[m.group(2)] = (_bound(m.group(3)), _bound(m.group(4)))
+        _narrow(m.group(2), (_bound(m.group(3)), _bound(m.group(4))))
         return " "
 
     rest = _RANGE_RE.sub(grab_range, rest)
@@ -125,7 +158,7 @@ def parse_query(q: str) -> dict:
                     "(the grammar is narrowing-only)"
                 )
             field, vals = m.groups()
-            filters[field] = [v for v in vals.split(",") if v]
+            _narrow(field, [v for v in vals.split(",") if v])
         elif neg:
             not_terms.extend(_toks(body))
         else:

@@ -482,6 +482,87 @@ def test_sort_topk_composes_with_filter(spark, corpus, queries, indexed):
         sort_topk(spark, queries, indexed, "lang", k=5)
 
 
+def test_facet_stats_survives_int64_sum_overflow(
+    spark, corpus, queries, indexed
+):
+    """Sums accumulate in decimal(38,0): epoch-microsecond-scale values
+    over a big match set overflow a LongType sum silently (non-ANSI
+    wraparound) — 1500 docs at ~7e15 sum past int64's 9.2e18."""
+    from decimal import Decimal
+
+    from similaripy_spark.fulltext.docvalues import facet_stats
+
+    big = corpus.withColumn(
+        "big", (F.lit(7_000_000_000_000_000) + F.col("doc_id")).cast("long")
+    )
+    build_docvalues(big, indexed, [("big", "numeric")])
+    row = facet_stats(spark, queries.limit(1), indexed, "big").first()
+    want_sum = sum(7_000_000_000_000_000 + i for i in range(N_DOCS))
+    assert want_sum > 2**63 - 1  # the trap is armed
+    assert int(Decimal(row.vsum)) == want_sum
+    assert abs(row.vavg - want_sum / N_DOCS) < 1e-3 * row.vavg
+
+
+def test_sort_topk_keeps_int64_precision(spark, corpus, queries, indexed):
+    """The ordering key stays int64: values differing by 1 above 2^53
+    collapse under a double cast into doc_id-ordered ties — constructed
+    so the collapsed order is exactly the WRONG order."""
+    from similaripy_spark.fulltext.docvalues import sort_topk
+
+    big = corpus.withColumn(
+        "big2",
+        (F.lit(2**53) + F.lit(N_DOCS) - F.col("doc_id")).cast("long"),
+    )
+    build_docvalues(big, indexed, [("big2", "numeric")])
+    got = [
+        r.doc_id
+        for r in sort_topk(
+            spark, queries.limit(1), indexed, "big2", k=5, ascending=True
+        ).orderBy("rank").collect()
+    ]
+    # ascending value = descending doc_id; a double-collapsed tie would
+    # return ascending doc_id instead
+    assert got == [N_DOCS - 1 - i for i in range(5)]
+
+
+def test_bare_string_filter_rejected(spark, queries, indexed):
+    handle = open_index(spark, indexed, cache=False)
+    with pytest.raises(ValueError, match="bare string"):
+        handle.topk(queries, k=5, filter={"lang": "en"})
+
+
+def test_partial_field_rebuild_on_moved_index_rejected(
+    spark, corpus, tmp_path_factory
+):
+    """After the index grows, rebuilding a SUBSET of sidecar fields must
+    not stamp untouched (still-stale) fields as fresh."""
+    from similaripy_spark.fulltext.append import append_to_index
+    from similaripy_spark.fulltext.docvalues import StaleDocValuesError
+
+    d = str(tmp_path_factory.mktemp("dvpart") / "idx")
+    base = corpus.filter(F.col("doc_id") < 1024)
+    delta = corpus.filter(F.col("doc_id") >= 1024)
+    IndexBuilder(
+        d, n_groups=2, shard_size=256, weight_scheme="raw"
+    ).build(base)
+    build_docvalues(base, d, ["lang"])
+    append_to_index(spark, d, delta)
+    with pytest.raises(StaleDocValuesError, match="rebuild ALL"):
+        build_docvalues(corpus, d, ["bucket"])
+    # rebuilding everything (old + new field) is the sanctioned path
+    build_docvalues(corpus, d, ["lang", "bucket"])
+    got = _rows(
+        open_index(spark, d, cache=False).topk(
+            corpus.filter(F.col("doc_id") < 40).select(
+                F.col("doc_id").alias("query_id"),
+                F.split(F.col("text"), " ").alias("terms"),
+            ),
+            k=5, filter={"bucket": ["b1"]},
+        )
+    )
+    assert got
+
+
 def test_facet_counts_exclude_tombstones(
     spark, corpus, queries, tmp_path_factory
 ):

@@ -61,6 +61,25 @@ def test_parse_edges():
         parse_query("-n:[1 TO 2]")
 
 
+def test_parse_repeated_clauses_narrow():
+    """Repeated clauses on one field INTERSECT — every clause narrows
+    (Lucene MUST semantics), never silently replaces."""
+    assert parse_query("lang:en,de lang:de,fr")["filters"] == {
+        "lang": ["de"]
+    }
+    assert parse_query("n:[10 TO 30] n:[20 TO 40]")["filters"] == {
+        "n": (20, 30)
+    }
+    # open ends tighten one side only; ISO/int bounds compare coerced
+    assert parse_query("n:[10 TO *] n:[* TO 40]")["filters"] == {
+        "n": (10, 40)
+    }
+    # empty intersection is a valid (matches-nothing) narrowing
+    assert parse_query("lang:en lang:fr")["filters"] == {"lang": []}
+    with pytest.raises(ValueError, match="one kind"):
+        parse_query("x:a x:[1 TO 2]")
+
+
 # --------------------------- execution -------------------------------
 
 

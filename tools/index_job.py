@@ -239,6 +239,10 @@ def main(argv=None):
                 if not vals:
                     raise SystemExit(f"--filter expects FIELD=V1,V2: {spec}")
                 filt[field] = [v for v in vals.split(",") if v]
+            # the grammar's own bound parser: '' or '*' = open end, ints
+            # pass through, ISO timestamps coerced by the library
+            from similaripy_spark.fulltext.querylang import _bound
+
             for spec in args.filter_range or []:
                 field, _, rng = spec.partition("=")
                 lo, sep, hi = rng.partition(":")
@@ -246,14 +250,6 @@ def main(argv=None):
                     raise SystemExit(
                         f"--filter-range expects FIELD=LO:HI: {spec}"
                     )
-
-                def _bound(s):
-                    if not s:
-                        return None
-                    try:
-                        return int(s)
-                    except ValueError:
-                        return s  # ISO timestamp — coerced by the library
                 filt[field] = (_bound(lo), _bound(hi))
             # auto-routed front-end: shard list from meta.json, path chosen
             # from batch size + index layout (segment sweep / term-major)
