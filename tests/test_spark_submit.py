@@ -180,6 +180,32 @@ def test_spark_submit_build_then_query(spark, tmp_path):
     # k covers the corpus, so the phrase's own source doc must appear
     assert 0 in {row["doc_id"] for row in sr.collect()}
 
+    # numeric stats + sort legs (docvalues-numeric warc_ts built above)
+    out_st_p = str(tmp_path / "stats_results")
+    r = subprocess.run(
+        base + ["facets", "--index", index_p, "--queries", queries_p,
+                "--field", "warc_ts", "--out", out_st_p, "--stats"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    st = spark.read.parquet(out_st_p)
+    assert st.count() > 0
+    assert {"query_id", "n_docs", "vmin", "vmax", "vsum", "vavg"} <= set(
+        st.columns
+    )
+    out_so_p = str(tmp_path / "sort_results")
+    r = subprocess.run(
+        base + ["sort", "--index", index_p, "--queries", queries_p,
+                "--field", "warc_ts", "--out", out_so_p, "--k", "5"],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    so = spark.read.parquet(out_so_p)
+    assert so.count() > 0
+    assert {"query_id", "doc_id", "value", "rank"} == set(so.columns)
+
     # mlt leg: seed docs as queries through the CLI (comma-list seeds)
     out3_p = str(tmp_path / "mlt_results")
     r = subprocess.run(

@@ -128,13 +128,32 @@ def main(argv=None):
 
     fc = sub.add_parser(
         "facets",
-        help="per-query match counts grouped by a doc-values field",
+        help="per-query match counts grouped by a doc-values field "
+        "(or numeric statistics with --stats)",
     )
     fc.add_argument("--index", required=True)
     fc.add_argument("--queries", required=True)
     fc.add_argument("--field", required=True)
     fc.add_argument("--out", required=True)
     fc.add_argument("--mode", choices=["or", "and"], default="or")
+    fc.add_argument(
+        "--stats", action="store_true",
+        help="numeric field: per-query count/min/max/sum/avg instead of "
+        "per-value counts",
+    )
+
+    so = sub.add_parser(
+        "sort",
+        help="top-k matches per query ORDERED BY a numeric doc-values "
+        "field (sort-by-attribute instead of BM25)",
+    )
+    so.add_argument("--index", required=True)
+    so.add_argument("--queries", required=True)
+    so.add_argument("--field", required=True)
+    so.add_argument("--out", required=True)
+    so.add_argument("--k", type=int, default=10)
+    so.add_argument("--mode", choices=["or", "and"], default="or")
+    so.add_argument("--ascending", action="store_true")
 
     ap = sub.add_parser(
         "append",
@@ -264,13 +283,26 @@ def main(argv=None):
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"search": args.q, "out": args.out}))
     elif args.cmd == "facets":
-        from similaripy_spark.fulltext.docvalues import facet_counts
+        from similaripy_spark.fulltext.docvalues import (
+            facet_counts,
+            facet_stats,
+        )
 
         queries = spark.read.parquet(args.queries)
-        out = facet_counts(spark, queries, args.index, args.field,
-                           mode=args.mode)
+        fn = facet_stats if args.stats else facet_counts
+        out = fn(spark, queries, args.index, args.field, mode=args.mode)
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"facets": args.index, "field": args.field,
+                          "stats": args.stats, "out": args.out}))
+    elif args.cmd == "sort":
+        from similaripy_spark.fulltext.docvalues import sort_topk
+
+        queries = spark.read.parquet(args.queries)
+        out = sort_topk(spark, queries, args.index, args.field,
+                        k=args.k, mode=args.mode,
+                        ascending=args.ascending)
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"sort": args.index, "field": args.field,
                           "out": args.out}))
     elif args.cmd == "append":
         from similaripy_spark.fulltext.append import append_to_index
