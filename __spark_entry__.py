@@ -389,6 +389,36 @@ def _q_bm25_facet_stats(spark, sf_dir):
     )
 
 
+def _q_bm25_collapse_topk(spark, sf_dir):
+    """FIELD COLLAPSING (docvalues.collapse_topk — Lucene collapse): the
+    BM25 top-10 with at most ONE doc per `source` value — one result per
+    site. Every match is scored relationally with index stats (exact
+    float64, weight-scheme independent), the per-(query, value)
+    row_number keeps each value's best doc, the global top-k ranks the
+    survivors — a kernel top-k-then-collapse would be inexact. Oracle:
+    the same double window off the documents table."""
+    import tempfile
+
+    from similaripy_spark.fulltext.index_build import IndexBuilder
+    from similaripy_spark.fulltext.docvalues import (
+        build_docvalues,
+        collapse_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_coll_")
+    IndexBuilder(d, shard_size=1 << 14, n_groups=2).build(docs)
+    build_docvalues(docs, d, ["source"])
+    out = collapse_topk(spark, queries, d, "source", k=10, per_value=1)
+    return out.select(
+        "query_id", "doc_id", "value", _r6("score").alias("score")
+    )
+
+
 def _q_bm25_sort_topk(spark, sf_dir):
     """SORT-BY-ATTRIBUTE retrieval (docvalues.sort_topk — Lucene's
     sort-by-field): top-10 matches per query ordered by n_chars DESC
@@ -1147,6 +1177,42 @@ WITH {_SQL_POSTINGS},
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
     FROM scores)
 SELECT query_id, doc_id, FLOOR((score) * 1000000 + 0.5) / 1000000 AS score FROM ranked WHERE rn <= 10
+"""
+
+# field collapsing: best doc per (query, source), then global top-10
+_SQL_BM25_COLLAPSE_TOPK = f"""
+WITH {_SQL_POSTINGS},
+  stats AS (SELECT term, COUNT(*) AS df FROM postings WHERE tf > 0 GROUP BY 1),
+  corpus AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                    SUM(tf) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS avgdl
+             FROM postings),
+  weights AS (
+    SELECT d.doc_id, d.term,
+           ln((c.n_docs - s.df + 0.5) / (s.df + 0.5))
+           * (d.tf * 2.2 / (d.tf + 1.2 * ((1 - 0.75) + 0.75 * d.dl / c.avgdl))) AS weight
+    FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c),
+  queries AS (
+    SELECT doc_id AS query_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')[1:3]) AS term
+    FROM documents WHERE doc_id % 25 = 0),
+  qterms AS (SELECT DISTINCT query_id, term FROM queries WHERE term <> ''),
+  scores AS (
+    SELECT q.query_id, w.doc_id, SUM(w.weight) AS score
+    FROM qterms q JOIN weights w ON q.term = w.term
+    GROUP BY 1, 2),
+  with_val AS (
+    SELECT s.query_id, s.doc_id, d.source AS value, s.score,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id, d.source
+                              ORDER BY s.score DESC, s.doc_id ASC) AS vr
+    FROM scores s JOIN documents d ON d.doc_id = s.doc_id),
+  ranked AS (
+    SELECT query_id, doc_id, value, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM with_val WHERE vr <= 1)
+SELECT query_id, doc_id, value,
+       FLOOR((score) * 1000000 + 0.5) / 1000000 AS score
+FROM ranked WHERE rn <= 10
 """
 
 # sort-by-attribute: top-10 matches per query by n_chars DESC, doc_id ties
@@ -2601,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_facet_counts": _q_bm25_facet_counts,
         "bm25_facet_stats": _q_bm25_facet_stats,
         "bm25_sort_topk": _q_bm25_sort_topk,
+        "bm25_collapse_topk": _q_bm25_collapse_topk,
         "bm25_not_topk": _q_bm25_not_topk,
         "bm25_range_topk": _q_bm25_range_topk,
         "bm25_search_topk": _q_bm25_search_topk,
@@ -2698,6 +2765,7 @@ FROM doclen d JOIN stats s ON d.term = s.term CROSS JOIN corpus c
         "bm25_facet_counts": _SQL_BM25_FACET_COUNTS,
         "bm25_facet_stats": _SQL_BM25_FACET_STATS,
         "bm25_sort_topk": _SQL_BM25_SORT_TOPK,
+        "bm25_collapse_topk": _SQL_BM25_COLLAPSE_TOPK,
         "bm25_not_topk": _SQL_BM25_NOT_TOPK,
         "bm25_range_topk": _SQL_BM25_RANGE_TOPK,
         "bm25_search_topk": _SQL_BM25_SEARCH_TOPK,

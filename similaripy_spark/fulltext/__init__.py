@@ -30,6 +30,7 @@ from similaripy_spark.fulltext.append import (  # noqa: F401
 from similaripy_spark.fulltext.docvalues import (  # noqa: F401
     append_docvalues,
     build_docvalues,
+    collapse_topk,
     facet_counts,
     facet_stats,
     sort_topk,

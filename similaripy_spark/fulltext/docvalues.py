@@ -1000,6 +1000,167 @@ def sort_topk(
     return ranked.select("query_id", "doc_id", "value", "rank")
 
 
+def collapse_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    field: str,
+    k: int = 10,
+    per_value: int = 1,
+    mode: str = "or",
+    dv_filter: dict | None = None,
+    term_pushdown_cap: int = 10000,
+) -> DataFrame:
+    """BM25 top-k with at most ``per_value`` docs per dictionary value of
+    ``field`` (Lucene's field collapsing — one result per site/domain) →
+    (query_id, doc_id, value, score, rank).
+
+    Exact by construction: every match is scored RELATIONALLY with the
+    index's own statistics (decoded tf blocks under term pushdown ⋈
+    doc_stats(dl) → bm25_tf_part at the index's (k1, b, avgdl) ⋈
+    idf_table — float64, weight-scheme independent), the per-value
+    row_number keeps the best ``per_value`` docs of each (query, value)
+    group under the engine tie rule, and the global top-k ranks the
+    survivors. A kernel top-k then collapse would be INEXACT (a value's
+    second doc could crowd out another value's best); scoring the full
+    match set is the honest cost, the same Σ df(query terms) every facet
+    aggregation pays. NULL-attribute docs (no dictionary entry) collapse
+    as their own group per doc (never suppressed by each other).
+    ``dv_filter`` composes via filter_docs."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if per_value < 1:
+        raise ValueError(f"per_value must be >= 1, got {per_value}")
+    check_docvalues_fresh(index_dir, [field])
+    if field_kind(index_dir, field) != "dict":
+        raise ValueError(
+            f"collapse_topk needs a dictionary-encoded field; {field!r} "
+            "is numeric"
+        )
+    from pyspark.sql import Window
+
+    from similaripy_spark.fulltext.append import read_doc_stats_all
+    from similaripy_spark.fulltext.index_build import (
+        read_segments,
+        read_term_stats,
+    )
+    from similaripy_spark.fulltext.index_merge import decode_segments
+    from similaripy_spark.fulltext.retrieve import _ensure_terms
+    from similaripy_spark.fulltext.weights import bm25_tf_part, idf_table
+    from similaripy_spark.operators.topk import top_k
+
+    meta = read_meta(index_dir)
+    shard_size = int(meta["shard_size"])
+    queries = _ensure_terms(queries)
+    qterms = (
+        queries.select("query_id", F.explode("terms").alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    seg = read_segments(spark, index_dir)
+    terms = [
+        r[0]
+        for r in qterms.select("term").distinct()
+        .limit(term_pushdown_cap + 1).collect()
+    ]
+    if len(terms) <= term_pushdown_cap:
+        seg = seg.filter(F.col("term").isin(terms))
+    else:
+        seg = seg.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        )
+    posts = decode_segments(seg).join(
+        read_doc_stats_all(spark, index_dir).select("doc_id", "dl"),
+        "doc_id",
+    )
+    tfp = bm25_tf_part(
+        posts, k1=float(meta["k1"]), b=float(meta["b"]),
+        avgdl=float(meta["avgdl"]),
+    )
+    idf = idf_table(read_term_stats(spark, index_dir), int(meta["n_docs"]))
+    scored = (
+        qterms.join(tfp, "term")
+        .join(idf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("weight") * F.col("idf")).alias("score"),
+            F.count("*").alias("__nm"),
+        )
+    )
+    if mode == "and":
+        need = qterms.groupBy("query_id").agg(F.count("*").alias("__need"))
+        scored = scored.join(need, "query_id").filter(
+            F.col("__nm") == F.col("__need")
+        )
+    scored = scored.select("query_id", "doc_id", "score")
+    if meta.get("n_tombstone_epochs"):
+        from similaripy_spark.fulltext.delete import read_tombstones
+
+        scored = scored.join(
+            read_tombstones(spark, index_dir), "doc_id", "left_anti"
+        )
+    if dv_filter:
+        scored = filter_docs(spark, scored, index_dir, dv_filter)
+    scored = scored.withColumn(
+        "shard", (F.col("doc_id") / shard_size).cast("int")
+    )
+    dv = read_codes(spark, index_dir, field)
+
+    def gather(m_pdf: pd.DataFrame, dv_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(m_pdf) == 0 or len(dv_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                    "code": pd.Series(dtype="int32"),
+                }
+            )
+        codes = np.frombuffer(dv_pdf["codes"].iloc[0], dtype=np.uint16)
+        docs = m_pdf["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "query_id": m_pdf["query_id"].to_numpy(np.int64),
+                "doc_id": docs,
+                "score": m_pdf["score"].to_numpy(np.float64),
+                "code": codes[
+                    docs - int(dv_pdf["base_doc"].iloc[0])
+                ].astype(np.int32),
+            }
+        )
+
+    with_code = (
+        scored.groupBy("shard")
+        .cogroup(dv.groupBy("shard"))
+        .applyInPandas(
+            gather,
+            schema="query_id long, doc_id long, score double, code int",
+        )
+    )
+    # NULL-attribute docs (code 0) form per-doc singleton groups
+    grp = F.when(
+        F.col("code") == 0, -F.col("doc_id") - 1
+    ).otherwise(F.col("code").cast("long"))
+    w = Window.partitionBy("query_id", grp).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    best = with_code.withColumn("__vr", F.row_number().over(w)).filter(
+        F.col("__vr") <= per_value
+    )
+    dict_df = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(load_dict(index_dir, field))],
+        "code int, value string",
+    )
+    ranked = top_k(
+        best.select("query_id", "doc_id", "score", "code"),
+        k, group="query_id", order_value="score", tiebreak="doc_id",
+        keep_rank=True,
+    )
+    return ranked.join(F.broadcast(dict_df), "code", "left").select(
+        "query_id", "doc_id", "value", "score", "rank"
+    )
+
+
 def facet_stats(
     spark: SparkSession,
     queries: DataFrame,

@@ -563,6 +563,62 @@ def test_partial_field_rebuild_on_moved_index_rejected(
     assert got
 
 
+def test_collapse_topk_matches_relational(spark, corpus, queries, indexed):
+    """Field collapsing: at most per_value docs per attribute value; the
+    twin computes full relational BM25, per-(query,value) row_number,
+    then global top-k."""
+    from pyspark.sql import Window
+
+    from similaripy_spark.fulltext.docvalues import collapse_topk
+    from similaripy_spark.operators.topk import top_k
+
+    got = [
+        (r.query_id, r.doc_id, r.value, round(r.score, 6))
+        for r in collapse_topk(
+            spark, queries, indexed, "bucket", k=5, per_value=2
+        ).orderBy("query_id", "rank").collect()
+    ]
+    w = bm25_weights(build_postings(corpus))
+    qt = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).filter(F.col("term") != "").distinct()
+    scored = (
+        qt.join(w, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("weight").alias("score"))
+        .join(corpus.select("doc_id", "bucket"), "doc_id")
+    )
+    vw = Window.partitionBy("query_id", "bucket").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    best = scored.withColumn("vr", F.row_number().over(vw)).filter(
+        F.col("vr") <= 2
+    )
+    want = [
+        (r.query_id, r.doc_id, r.bucket, round(r.score, 6))
+        for r in top_k(
+            best.select("query_id", "doc_id", "bucket", "score"),
+            5, group="query_id", order_value="score", tiebreak="doc_id",
+            keep_rank=True,
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert [(q, d, v) for q, d, v, _ in got] == [
+        (q, d, v) for q, d, v, _ in want
+    ]
+    assert np.allclose(
+        [s for *_, s in got], [s for *_, s in want], rtol=1e-9
+    )
+    # collapsing bites: no query has >2 docs of one bucket
+    from collections import Counter
+
+    for qid in {q for q, *_ in got}:
+        c = Counter(v for q, _, v, _ in got if q == qid)
+        assert max(c.values()) <= 2
+    assert len(got) > 0
+    with pytest.raises(ValueError):
+        collapse_topk(spark, queries, indexed, "warc_ts", k=5)
+
+
 def test_facet_counts_exclude_tombstones(
     spark, corpus, queries, tmp_path_factory
 ):
