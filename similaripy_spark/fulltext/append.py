@@ -111,10 +111,20 @@ def append_to_index(
     if (pages is None) == (postings is None):
         raise ValueError("pass exactly one of pages / postings")
     lang = meta.get("lang")
+    postings_input = pages is None
     if pages is not None:
         if lang is not None:
             pages = pages.filter(F.col("lang") == lang)
         postings = build_postings(pages)
+    if postings_input:
+        # the caller's relation feeds BOTH the phase-1 stats job and the
+        # phase-2 segment job — persist so its upstream DAG runs once
+        # (the builder's own policy for stats-from-postings; the pages
+        # path instead re-tokenizes for the count-only stats pass, the
+        # measured-cheaper trade)
+        postings = postings.persist()
+
+    from similaripy_spark.fulltext.commit import detect_commit_protocol
 
     builder = IndexBuilder(
         index_dir,
@@ -126,6 +136,10 @@ def append_to_index(
         input_layout=input_layout,
         encoder=encoder or "arrow",
         weight_scheme="raw",
+        # match the base index's backend: rename-committed delta groups
+        # beside pointer-committed ones would be invisible to readers
+        # (resolve_artifact_multi returns only pointer entries)
+        commit=detect_commit_protocol(index_dir),
     )
     builder.group_base = base_group
     # block bounds stay comparable across epochs: encode them at the SAME
@@ -215,16 +229,22 @@ def append_to_index(
             },
         }
     )
-    builder.commit.publish_json(
-        os.path.join(index_dir, "meta.json"), new_meta
-    )
-
-    # ---- invalidate the (segment-derived) merged layout ------------------
+    # ---- invalidate the (segment-derived) merged layout BEFORE the meta
+    # swap: with the old order a crash between the two left a COMPLETED
+    # append (meta published, no re-run) whose term-major layout silently
+    # missed every appended doc forever. Renaming first is safe — a crash
+    # after the rename merely invalidates merged/ early, and the re-run
+    # finishes the meta swap.
     merged = os.path.join(index_dir, "merged")
     if os.path.isdir(merged):
         os.rename(merged, os.path.join(
             index_dir, f"merged_stale_epoch_{epoch}"
         ))
+    builder.commit.publish_json(
+        os.path.join(index_dir, "meta.json"), new_meta
+    )
+    if postings_input:
+        postings.unpersist()
     return new_meta
 
 

@@ -80,6 +80,23 @@ def pointer_path(final_path: str) -> str:
     return final_path.rstrip("/") + ".ptr.json"
 
 
+def detect_commit_protocol(index_dir: str) -> "CommitProtocol":
+    """The protocol that committed this index's segments. Detection is
+    unambiguous (pointer objects are only ever written by the pointer
+    backend) and MATTERS for writers that add sibling artifacts later
+    (append_to_index delta groups, delete_docs tombstone epochs):
+    ``resolve_artifact_multi`` reads ONLY pointer entries once any exist,
+    so a rename-committed delta beside pointer-committed groups would be
+    silently invisible to every reader."""
+    seg = os.path.join(index_dir, "segments")
+    try:
+        if any(n.endswith(".ptr.json") for n in os.listdir(seg)):
+            return ObjectStoreCommitProtocol()
+    except OSError:
+        pass
+    return LocalFSCommitProtocol()
+
+
 def resolve_artifact(path: str) -> str:
     """Backend-independent reader-side resolution: if a pointer object
     exists for `path`, the committed data lives at the location it names;

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from similaripy_spark.fulltext.commit import (
-    LocalFSCommitProtocol,
+    detect_commit_protocol,
     resolve_artifact,
 )
 from similaripy_spark.fulltext.index_build import IndexBuilder, read_meta
@@ -55,9 +55,16 @@ def delete_docs(
     touched; queries exclude the docs immediately."""
     meta = read_meta(index_dir)
     epoch = int(meta.get("n_tombstone_epochs", 0))
-    commit = LocalFSCommitProtocol()
+    # match the base index's backend (pointer objects on an object store
+    # need pointer commits for the epoch dirs too)
+    commit = detect_commit_protocol(index_dir)
     if isinstance(doc_ids, DataFrame):
         df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+        if df.limit(1).count() == 0:
+            # parity with the list path: an empty delete must not commit
+            # a zero-row tombstone epoch (each epoch adds a permanent
+            # driver-side dataset read to every query batch)
+            raise ValueError("delete_docs: empty doc_id set")
     else:
         ids = [int(x) for x in doc_ids]
         if not ids:
@@ -142,6 +149,10 @@ def compact_index(
         shard_size=meta["shard_size"],
         n_groups=meta["n_groups"],
         weight_scheme=meta.get("weight_scheme", "prod"),
+        # carried so a later append_to_index keeps filtering the delta —
+        # dropping it silently broke build(A∪B) == build(A);append(B)
+        # after any compaction of a language-filtered index
+        lang=meta.get("lang"),
     )
     kwargs.update(builder_kwargs)
     return IndexBuilder(out_dir, **kwargs).build_from_postings(postings)

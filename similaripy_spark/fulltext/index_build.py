@@ -590,10 +590,21 @@ class IndexBuilder:
         if resume and self.commit.exists(meta_path):
             resumed_meta = self.commit.read_json(meta_path)
             self.shard_size = int(resumed_meta["shard_size"])
-            # a resumed build must keep the committed groups' scheme —
-            # mixing factored and product blocks in one index would be
-            # silently wrong at query time
+            # a resumed build must keep EVERY committed-groups parameter —
+            # mixing weight schemes would be silently wrong at query time;
+            # a changed n_groups would remap shard→group so the pending
+            # groups cover the wrong shard residues (some shards never
+            # built, the committed-groups==n_groups gate still passing);
+            # changed k1/b would mix inconsistently-weighted blocks
             self.weight_scheme = resumed_meta.get("weight_scheme", "prod")
+            if "n_groups" in resumed_meta:
+                self.n_groups = int(resumed_meta["n_groups"])
+            if "k1" in resumed_meta:
+                self.k1 = float(resumed_meta["k1"])
+            if "b" in resumed_meta:
+                self.b = float(resumed_meta["b"])
+            if "block_size" in resumed_meta:
+                self.block_size = int(resumed_meta["block_size"])
 
         # persist only when the plan reads the postings more than once:
         # stats-from-postings (no pages), or the 'prod' scheme's term-df

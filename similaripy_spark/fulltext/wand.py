@@ -560,6 +560,12 @@ def _score_intersect(idx: _ShardIndex, terms) -> tuple[np.ndarray, np.ndarray]:
         if not mask.any():
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
         td, tw = idx.decode_blocks(t, block_mask=mask)
+        if len(td) == 0:
+            # tombstone / doc-values filtering can empty the decoded
+            # overlapping blocks even when the doc-range mask matched —
+            # no surviving posting of this term ⇒ the intersection is
+            # empty (indexing td[pos_c] here would be an IndexError)
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
         pos = np.searchsorted(td, docs)
         pos_c = np.minimum(pos, len(td) - 1)
         hit = td[pos_c] == docs
@@ -577,21 +583,6 @@ def _local_topk(docs, scores, k):
     else:
         order = np.lexsort((docs, -scores))
     return docs[order], scores[order]
-
-
-def _gather_terms(incidence, spans, which):
-    """Replicate posting spans per referencing query → (q_idx, gather_idx)."""
-    idx_parts, q_parts = [], []
-    for t, qlist in incidence.items():
-        if t not in spans or (which is not None and t not in which):
-            continue
-        s, e = spans[t]
-        nq = len(qlist)
-        idx_parts.append(np.tile(np.arange(s, e), nq))
-        q_parts.append(np.repeat(np.asarray(qlist, np.int64), e - s))
-    if not idx_parts:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    return np.concatenate(q_parts), np.concatenate(idx_parts)
 
 
 def _group_topk_df(qids, uq, ud, scores, k):
