@@ -160,7 +160,18 @@ def merge_indexes(
     for d in index_dirs:
         decoded = decode_segments(read_segments(spark, d))
         ds = read_doc_stats(spark, d).select("doc_id", "dl")
-        postings_parts.append(decoded.join(ds, "doc_id"))
+        part = decoded.join(ds, "doc_id")
+        if read_meta(d).get("n_tombstone_epochs"):
+            # deleted docs stay in the source SEGMENTS until compaction;
+            # decoding without the tombstone set would silently RESURRECT
+            # them in the merged index (delete.py's contract: never
+            # returned by any query path). Anti-joining here also gives
+            # the rebuild exact post-deletion stats, like compact_index.
+            from similaripy_spark.fulltext.delete import read_tombstones
+
+            tomb = read_tombstones(spark, d)
+            part = part.join(tomb, "doc_id", "left_anti")
+        postings_parts.append(part)
     merged = postings_parts[0]
     for p in postings_parts[1:]:
         merged = merged.unionByName(p)

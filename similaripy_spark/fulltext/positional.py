@@ -310,6 +310,20 @@ def build_positions(
     shard_size = int(meta["shard_size"])
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)
+    # cheap corpus cross-check (append_positions validates its delta two
+    # ways; the full build previously validated nothing): a pages relation
+    # MISSING indexed docs would produce a sidecar stamped fresh whose
+    # phrase verification silently reports false negatives forever.
+    # Extra rows (unfiltered supersets, empty docs) are harmless — only
+    # the too-few direction is dangerous.
+    n_pages = pages.count()
+    if n_pages < int(meta["n_docs"]):
+        raise ValueError(
+            f"pages holds {n_pages} docs but the index covers "
+            f"{int(meta['n_docs'])} — a sidecar built from a partial "
+            "crawl silently misses phrase matches; pass the same pages "
+            "relation (and lang filter) the index was built from"
+        )
     if n_partitions is None:
         n_partitions = max(int(meta["n_shards"]), 1)
     blocks = _encode_position_blocks(
@@ -763,6 +777,12 @@ def phrase_topk_pos(
                     .agg(F.min("pj").alias("prev"))
                 )
             parts.append(cur.select("query_id", "doc_id").distinct())
+        if not parts:
+            # empty batch / all-empty phrases: the slop=0 path returns
+            # empty gracefully, this one indexed parts[0]
+            return spark.createDataFrame(
+                [], "query_id long, doc_id long, score double, rank int"
+            )
         matched = parts[0]
         for p in parts[1:]:
             matched = matched.unionByName(p)

@@ -260,10 +260,20 @@ class IndexHandle:
         from similaripy_spark.fulltext import positional
 
         if positional.has_positions(self.index_dir):
-            positional.check_positions_fresh(self.index_dir)
-            return positional.phrase_topk_pos(
-                self.spark, self.index_dir, queries, k=k, slop=slop
-            )
+            try:
+                positional.check_positions_fresh(self.index_dir)
+            except positional.StalePositionsError:
+                # a sidecar gone stale (append_to_index grew the corpus)
+                # must not break a call the regexp fallback can answer
+                # exactly — the docstring's routing contract. Only when
+                # the sidecar is genuinely REQUIRED (slop, or no pages
+                # relation) does staleness surface as the error.
+                if slop != 0 or pages is None:
+                    raise
+            else:
+                return positional.phrase_topk_pos(
+                    self.spark, self.index_dir, queries, k=k, slop=slop
+                )
         if slop != 0:
             raise ValueError(
                 "slop > 0 needs the positional sidecar — run "

@@ -154,7 +154,12 @@ def ann_bruteforce_topk(
             q_ids = b[id_col].to_numpy(np.int64)
             Q = np.array(b[vec_col].tolist(), dtype=np.float64)
             qn = np.sqrt((Q * Q).sum(axis=1))
-            S = (Q @ b_E.T) / np.outer(qn, b_norms)
+            # zero-norm vectors (failed/padded embeddings) score 0, not
+            # NaN — a single NaN column would poison the kth threshold
+            # and silently erase every result row of the batch
+            qn[qn == 0] = 1.0
+            bn = np.where(b_norms == 0, 1.0, b_norms)
+            S = (Q @ b_E.T) / np.outer(qn, bn)
             if not include_self:
                 # mask self-matches by id (positions found via searchsorted)
                 pos = np.searchsorted(b_ids[order_by_id], q_ids)
@@ -247,6 +252,8 @@ def _blocked_gemm_topk(
         E = np.array(right["iv"].tolist(), dtype=np.float64)
         qn = np.sqrt((Q * Q).sum(axis=1))
         bn = np.sqrt((E * E).sum(axis=1))
+        qn[qn == 0] = 1.0  # zero-norm → cosine 0, never NaN (see gemm path)
+        bn[bn == 0] = 1.0
         S = (Q @ E.T) / np.outer(qn, bn)
         if not include_self:
             order = np.argsort(b_ids)
@@ -388,15 +395,26 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate embedding pairs: cosine ≥ threshold, a < b."""
+    """Near-duplicate embedding pairs: cosine ≥ threshold, a < b.
+
+    Pair direction is canonicalized with least/greatest + distinct, NOT
+    ``filter(row < col)``: per-row top-k lists are asymmetric (ties break
+    col ASC), so in a duplicate cluster larger than k the high-id members
+    only ever see lower-id neighbours — a row<col filter dropped ALL of
+    their pairs and dedup silently kept half the exact duplicates."""
     nn = ann_bruteforce_topk(emb, k=k, id_col=id_col, vec_col=vec_col)
     return (
-        nn.filter((F.col("value") >= threshold) & (F.col("row") < F.col("col")))
+        nn.filter(
+            (F.col("value") >= threshold)
+            & (F.col("row") != F.col("col"))
+        )
         .select(
-            F.col("row").alias("doc_a"),
-            F.col("col").alias("doc_b"),
+            F.least("row", "col").alias("doc_a"),
+            F.greatest("row", "col").alias("doc_b"),
             F.col("value").alias("cosine"),
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 
@@ -812,7 +830,10 @@ def ivf_query(
     )
     probes = _assign_cells(qbase, cents, n_probe).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), "cid"
-    )
+    ).persist()  # the probed-cell collect below AND the scoring cogroup
+    # both consume this relation — unpersisted, every query call ran the
+    # query-side assignment GEMM twice. Small by construction
+    # (n_queries × n_probe rows); released when the session drops it.
     probed = sorted(
         {int(r["cid"]) for r in probes.select("cid").distinct().collect()}
     )

@@ -204,6 +204,13 @@ def minhash_lsh_pairs(
     pairs → (doc_a, doc_b). The band signature is an ordered concat of the
     band's minhashes; the pair join is on (band, signature) — the classic
     shingle→minhash→band→bucket-join pipeline, no quadratic step."""
+    if n_hashes % bands:
+        # a silent remainder would create an extra SHORT band (index ==
+        # bands) whose few rows fire on far weaker agreement than the
+        # caller's (bands, rows) S-curve math promises
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, n, text_col, id_col).withColumn(
         "band", (F.col("h") / rows_per_band).cast("int")
@@ -248,11 +255,22 @@ def simhash(
     Executed as ONE groupBy pass with `bits` sum-aggregates (no bit-table
     crossJoin: that materializes bits× the tf rows and re-evaluates the md5
     ids under the collapsed join projection), then one bit-combine
-    expression; fully map-side-combinable."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize_expr(F.col(text_col))).alias("term"),
-    )
+    expression; fully map-side-combinable.
+
+    ``n > 1`` hashes DISTINCT word n-gram SHINGLES (word_shingles, which
+    dedups — so weights are binary) instead of tf-weighted unigrams:
+    order-sensitive SimHash, scrambled documents stop hashing
+    near-identical. The parameter was previously accepted and silently
+    ignored."""
+    if n > 1:
+        toks = word_shingles(
+            docs, n=n, text_col=text_col, id_col=id_col
+        ).select(F.col("doc_id"), F.col("shingle").alias("term"))
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize_expr(F.col(text_col))).alias("term"),
+        )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     x1, x2 = _hash_pair(F.col("term"))
     tf = tf.select("doc_id", "tf", x1.alias("x1"), x2.alias("x2"))
@@ -402,12 +420,23 @@ def dedup_components(
         ).collect()[0]
         return row["n"], row["x"]
 
+    converged = False
     for _ in range(max_rounds):
         stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         if _sig(stepped) == _sig(edges):
             edges = stepped
+            converged = True
             break
         edges = stepped
+    if not converged:
+        # an un-converged edge set is NOT a star forest — a node can
+        # carry two different component labels, silently corrupting
+        # every downstream keep/drop decision. Loud beats wrong.
+        raise RuntimeError(
+            f"dedup_components did not reach a fixed point in "
+            f"{max_rounds} rounds — raise max_rounds (contraction is "
+            "O(log^2 n) rounds worst case)"
+        )
 
     # fixed point is a star forest: u → component min; roots map to
     # themselves

@@ -141,3 +141,149 @@ def test_delete_empty_dataframe_rejected(spark, corpus, tmp_path_factory):
     with pytest.raises(ValueError, match="empty doc_id set"):
         delete_docs(spark, d, empty)
     assert read_meta(d).get("n_tombstone_epochs", 0) == 0
+
+# --------- second core review batch (serve/sidecar/operator paths) --------
+
+
+def test_merge_does_not_resurrect_deleted_docs(
+    spark, corpus, tmp_path_factory
+):
+    """merge_indexes must honor source tombstones: decoding raw segments
+    without them silently resurrected deleted docs in the merged index."""
+    from similaripy_spark.fulltext.index_merge import merge_indexes
+
+    src = str(tmp_path_factory.mktemp("mrg") / "src")
+    out = str(tmp_path_factory.mktemp("mrg") / "out")
+    IndexBuilder(src, n_groups=2, shard_size=256).build(corpus)
+    deleted = [7, 8, 9]
+    delete_docs(spark, src, deleted)
+    merge_indexes(spark, [src], out)
+    merged_docs = {
+        r.doc_id
+        for r in __import__(
+            "similaripy_spark.fulltext.index_merge",
+            fromlist=["decode_segments"],
+        ).decode_segments(read_segments(spark, out))
+        .select("doc_id").distinct().collect()
+    }
+    assert not (set(deleted) & merged_docs)
+    assert read_meta(out)["n_docs"] == N_DOCS - len(deleted)
+
+
+def test_embedding_dedup_cluster_larger_than_k(spark):
+    """A duplicate cluster bigger than k must still produce every pair —
+    filter(row < col) on asymmetric top-k lists dropped the high-id
+    members' pairs entirely."""
+    import numpy as np
+
+    from similaripy_spark.operators.ann import embedding_dedup_pairs
+
+    vec = list(np.float32([1.0, 2.0, 3.0, 4.0]))
+    rows = [(i, vec) for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    pairs = embedding_dedup_pairs(emb, threshold=0.99, k=3).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    want = {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    # k=3 caps each row's neighbour list, but least/greatest
+    # canonicalization must recover every pair some row observed —
+    # and with 6 identical vectors each row sees 3 others, covering all
+    assert got <= want and len(got) >= 9  # was 3-6 pre-fix
+    for a, b in got:
+        assert a < b
+
+
+def test_phrase_falls_back_to_pages_when_sidecar_stale(
+    spark, corpus, tmp_path_factory
+):
+    from similaripy_spark.fulltext.positional import (
+        StalePositionsError,
+        build_positions,
+    )
+
+    d = str(tmp_path_factory.mktemp("stale") / "idx")
+    base = corpus.filter(F.col("doc_id") < 512)
+    delta = corpus.filter(F.col("doc_id") >= 512)
+    IndexBuilder(
+        d, n_groups=2, shard_size=256, weight_scheme="raw"
+    ).build(base)
+    build_positions(base, d)
+    append_to_index(spark, d, delta)
+    t = corpus.filter(F.col("doc_id") == 3).first()["text"].split(" ")[:2]
+    q = spark.createDataFrame(
+        [(0, t)], "query_id long, terms array<string>"
+    )
+    h = open_index(spark, d, cache=False)
+    # slop=0 with pages in hand: regexp fallback answers exactly
+    hits = h.phrase_topk(corpus, q, k=5).collect()
+    assert any(r.doc_id == 3 for r in hits)
+    # sidecar genuinely required -> staleness still surfaces
+    with pytest.raises(StalePositionsError):
+        h.phrase_topk(corpus, q, k=5, slop=1)
+    with pytest.raises(StalePositionsError):
+        h.phrase_topk(None, q, k=5)
+
+
+def test_simhash_n_parameter_is_order_sensitive(spark):
+    from similaripy_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "delta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    uni = {r.doc_id: r.simhash for r in simhash(docs, n=1).collect()}
+    tri = {r.doc_id: r.simhash for r in simhash(docs, n=3).collect()}
+    assert uni[0] == uni[1]  # bag-of-words: reorder-invariant
+    assert tri[0] != tri[1]  # shingles: order-sensitive (was == pre-fix)
+
+
+def test_build_positions_rejects_partial_pages(
+    spark, corpus, tmp_path_factory
+):
+    from similaripy_spark.fulltext.positional import build_positions
+
+    d = str(tmp_path_factory.mktemp("partial") / "idx")
+    IndexBuilder(d, n_groups=2, shard_size=256).build(corpus)
+    with pytest.raises(ValueError, match="partial crawl"):
+        build_positions(corpus.filter(F.col("doc_id") < 100), d)
+
+
+def test_slop_path_empty_batch_returns_empty(
+    spark, corpus, tmp_path_factory
+):
+    from similaripy_spark.fulltext.positional import (
+        build_positions,
+        phrase_topk_pos,
+    )
+
+    d = str(tmp_path_factory.mktemp("slopempty") / "idx")
+    IndexBuilder(d, n_groups=2, shard_size=256).build(corpus)
+    build_positions(corpus, d)
+    empty = spark.createDataFrame(
+        [], "query_id long, terms array<string>"
+    )
+    assert phrase_topk_pos(spark, d, empty, k=5, slop=1).count() == 0
+
+
+def test_ann_zero_norm_vector_does_not_poison_batch(spark):
+    from similaripy_spark.operators.ann import ann_bruteforce_topk
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = ann_bruteforce_topk(emb, k=3).collect()
+    assert len(out) > 0  # pre-fix: NaN kth erased every row
+    import math
+
+    assert all(math.isfinite(r.value) for r in out)
+
+
+def test_lsh_bands_divisibility_enforced(spark, corpus):
+    from similaripy_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(corpus.limit(10), n_hashes=32, bands=5)
