@@ -17,6 +17,7 @@ Matrix conventions used by the similarity entries:
 from __future__ import annotations
 
 import math
+import os
 
 from collections.abc import Callable
 
@@ -27,8 +28,43 @@ from pyspark.sql import functions as F
 # shared loaders / fragments
 # ---------------------------------------------------------------------------
 
+def _spread(spark, df, path):
+    """Parallelize scans of few-row-group parquet tables: parquet splits
+    only at row-group boundaries, so a table with fewer row groups than the
+    session has cores serializes the map work above the scan (tokenization,
+    partial aggregation — the dominant per-row cost of these entries) no
+    matter the split-size conf. A keyless round-robin repartition
+    (deterministic: sort-before-repartition is on) spreads it. Scale-
+    adaptive, not a constant: decided from the parquet footers (a few ms,
+    no Spark planning), and any table with at least one row group per core
+    — every production-sized table — skips it without any shuffle."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+            if len(names) >= par:
+                return df
+            groups = 0
+            for n in names:
+                groups += pq.ParquetFile(
+                    os.path.join(path, n)
+                ).metadata.num_row_groups
+                if groups >= par:
+                    return df
+        else:
+            groups = pq.ParquetFile(path).metadata.num_row_groups
+    except OSError:
+        return df
+    if groups >= par:
+        return df
+    return df.repartition(par)
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = f"{sf_dir}/documents.parquet"
+    return _spread(spark, spark.read.parquet(p), p)
 
 
 def _emb(spark, sf_dir):
@@ -49,9 +85,17 @@ def _li_matrix(spark, sf_dir):
 
 
 def _postings(spark, sf_dir):
-    from similaripy_spark.fulltext.postings import build_postings_sql_plan
+    """Postings for the document entries, via the engine's map-side Arrow
+    tokenizer (identical rows to the SQL-plan twin — parity is pinned in
+    tests — with no token-level shuffle) and a lazy localCheckpoint: the
+    BM25 entries consume the postings relation three times (weights join,
+    term stats, corpus scalars), and without a materialization barrier each
+    consumer re-runs the tokenize pass. localCheckpoint (not persist) so
+    repeated invocations never share state: each call builds a fresh RDD,
+    released by the ContextCleaner when the result is dropped."""
+    from similaripy_spark.fulltext.postings import build_postings
 
-    return build_postings_sql_plan(_docs(spark, sf_dir))
+    return build_postings(_docs(spark, sf_dir)).localCheckpoint(eager=False)
 
 
 _R = 6  # rounding for float outputs

@@ -67,6 +67,7 @@ from pyspark.sql import types as T
 
 from similaripy_spark.fulltext.commit import (
     LocalFSCommitProtocol,
+    detect_commit_protocol,
     resolve_artifact,
 )
 from similaripy_spark.fulltext.index_build import read_meta
@@ -130,6 +131,20 @@ def build_docvalues(
     spark = pages.sparkSession
     meta = read_meta(index_dir)
     shard_size = int(meta["shard_size"])
+    # same partial-crawl guard as positional.build_positions: a pages
+    # relation MISSING indexed docs would stamp a 'fresh' sidecar in which
+    # the absent docs carry code 0 / NUMERIC_NULL and are silently excluded
+    # from every filtered ranking, facet count and sort. Extra rows
+    # (supersets) are harmless — only the too-few direction is dangerous.
+    n_pages = pages.count()
+    if n_pages < int(meta["n_docs"]):
+        raise ValueError(
+            f"pages holds {n_pages} docs but the index covers "
+            f"{int(meta['n_docs'])} — a sidecar built from a partial "
+            "crawl silently drops the missing docs from every filtered "
+            "ranking; pass the same pages relation (and lang filter) the "
+            "index was built from"
+        )
     cur = (int(meta.get("n_epochs", 1)), int(meta["n_docs"]))
     prior0 = docvalues_meta(index_dir)
     if prior0 is not None:
@@ -147,7 +162,10 @@ def build_docvalues(
                 f"built at {got}: rebuild ALL sidecar fields "
                 f"(missing {sorted(untouched)}) or use append_docvalues"
             )
-    commit = LocalFSCommitProtocol()
+    # commit through the SAME backend that committed the index: a rename-
+    # committed sidecar beside pointer-committed groups is invisible to
+    # pointer-reading resolvers (mirrors append.py / delete.py)
+    commit = detect_commit_protocol(index_dir)
     field_meta = {}
     for spec in fields:
         field, kind = (spec, "dict") if isinstance(spec, str) else spec
@@ -401,7 +419,17 @@ def append_docvalues(
             "shards are immutable; rebuild with build_docvalues"
         )
     spark = delta_pages.sparkSession
-    commit = LocalFSCommitProtocol()
+    commit = detect_commit_protocol(index_dir)
+    if not isinstance(commit, LocalFSCommitProtocol):
+        # the delta pack below stitches epochs together with hardlinks —
+        # a local-filesystem mechanism with no pointer-backend analog.
+        # Refuse loudly rather than commit a sidecar the pointer-reading
+        # resolvers cannot see; a pointer-committed index rebuilds with
+        # build_docvalues instead.
+        raise NotImplementedError(
+            "append_docvalues supports rename-committed (local FS) "
+            "indexes only; rebuild with build_docvalues on this backend"
+        )
     epoch = int(meta.get("n_epochs", 1))
     field_meta = dict(side.get("field_meta", {}))
     for field in fields:

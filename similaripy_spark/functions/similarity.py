@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from similaripy_spark.matrix import binarize, eliminate_zeros, transpose
@@ -133,14 +133,14 @@ def s_plus(
     h_stab, h_bayes, h_add = _shrink_values(shrink, shrink_type)
 
     m1 = eliminate_zeros(m1.select("row", "col", "value"))
-    if m2 is None:
-        m2 = transpose(m1)
-    else:
+    self_sim = m2 is None
+    if not self_sim:
         m2 = eliminate_zeros(m2.select("row", "col", "value"))
 
     if binary:  # s_plus_utils.pyx:281-308
         m1 = m1.withColumn("value", F.lit(1.0))
-        m2 = m2.withColumn("value", F.lit(1.0))
+        if not self_sim:
+            m2 = m2.withColumn("value", F.lit(1.0))
 
     if max_df is not None:
         # Hot-dimension mitigation: drop shared dimensions whose m2 posting
@@ -154,56 +154,133 @@ def s_plus(
         # pre-filtered matrices — norms and populations see the filtered
         # data. The hot set is tiny by construction → broadcast anti-joins.
         hot = (
-            m2.groupBy("row")
+            (transpose(m1) if self_sim else m2)
+            .groupBy("row")
             .agg(F.count("*").alias("_dimdf"))
             .filter(F.col("_dimdf") > int(max_df))
             .select("row")
         )
-        m2 = m2.join(F.broadcast(hot), "row", "left_anti")
         m1 = m1.join(
             F.broadcast(hot.select(F.col("row").alias("col"))),
             "col",
             "left_anti",
         )
+        if not self_sim:
+            m2 = m2.join(F.broadcast(hot), "row", "left_anti")
 
-    # --- row/col statistics BEFORE any selector pruning (the reference builds
-    # norm vectors from the full matrices: s_plus.pyx:227-273) -------------
+    # --- row/col statistics BEFORE any selector pruning (the reference
+    # builds norm vectors from the full matrices: s_plus.pyx:227-273) ------
+    #
+    # Round-6 plan shape (optimization guide §2.3/§2.4): every per-row /
+    # per-col statistic (squared norms, 'sum' populations) is a WINDOW
+    # column computed on the join inputs themselves, not a separate
+    # aggregate subtree joined back after the product aggregate:
+    #   * the row-keyed window requires hashpartitioning(row), so the
+    #     streamed side of the SpGEMM join arrives clustered by `row`; the
+    #     (row, col) product aggregate AND the final top-k window then both
+    #     satisfy their distribution from that same single exchange — the
+    #     pair stream (quadratic in posting lengths, the only truly large
+    #     relation here) never crosses a shuffle while m2 rides in as a
+    #     broadcast, and a hot shared dimension is spread across row
+    #     partitions instead of landing in one (skew-immune by layout);
+    #   * self-similarity derives BOTH join sides from one stats-annotated
+    #     base plan (ysq(m1ᵀ) ≡ xsq(m1)), so the scan + stats exchange run
+    #     once (AQE reuses the shuffle stage for the broadcast side);
+    #   * statistics ride through the product aggregate via max(): every
+    #     contribution to an output cell shares the same row (resp. col),
+    #     so max() reproduces the exact per-key value — no float change.
     need_sq = l1 != 0.0 or l2 != 0.0
-    m1_sq = m2_sq = None
-    if need_sq:  # s_plus_utils.pyx:169-201, computed once (CSE)
-        m1_sq = m1.groupBy("row").agg(F.sum(F.col("value") ** 2).alias("_xsq"))
-        m2_sq = m2.groupBy("col").agg(F.sum(F.col("value") ** 2).alias("_ysq"))
+    row_w = Window.partitionBy("row")
+    v = F.col("value")
 
-    xdepop = ydepop = None
+    # The row clustering is installed with an EXPLICIT partition count (the
+    # session's configured shuffle parallelism — the standard deployment-
+    # sized knob): an ENSURE_REQUIREMENTS exchange here would be AQE-
+    # coalesced by its own (small, pre-join) byte size, and the downstream
+    # SpGEMM multiplies volume by the posting-length factor — a Zipf corpus
+    # measured 14 s → 98 s when the pair stream aggregated+sorted in the
+    # handful of partitions AQE sized for the pre-join bytes. Partition
+    # count must be sized for the POST-join volume, which only the
+    # configured parallelism knows about (guide §2.5 input-skew note).
+    n_part = int(
+        m1.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
     if l3 != 0.0:  # s_plus_utils.pyx:231-278
-        if isinstance(pop1, DataFrame):
-            xdepop = pop1.select(
-                F.col(pop1.columns[0]).cast("long").alias("row"),
-                F.pow(F.col(pop1.columns[1]).cast("double"), F.lit(p1)).alias("_xdep"),
-            )
-        elif pop1 == "sum":
-            xdepop = m1.groupBy("row").agg(
-                F.pow(F.sum("value"), F.lit(p1)).alias("_xdep")
-            )
-        elif pop1 != "none":
+        if not isinstance(pop1, DataFrame) and pop1 not in ("none", "sum"):
             raise ValueError(f"invalid pop1: {pop1!r}")
-        if isinstance(pop2, DataFrame):
-            ydepop = pop2.select(
-                F.col(pop2.columns[0]).cast("long").alias("col"),
-                F.pow(F.col(pop2.columns[1]).cast("double"), F.lit(p2)).alias("_ydep"),
-            )
-        elif pop2 == "sum":
-            ydepop = m2.groupBy("col").agg(
-                F.pow(F.sum("value"), F.lit(p2)).alias("_ydep")
-            )
-        elif pop2 != "none":
+        if not isinstance(pop2, DataFrame) and pop2 not in ("none", "sum"):
             raise ValueError(f"invalid pop2: {pop2!r}")
+    need_xdep = l3 != 0.0 and (isinstance(pop1, DataFrame) or pop1 == "sum")
+    need_ydep = l3 != 0.0 and (isinstance(pop2, DataFrame) or pop2 == "sum")
+
+    def _pop_df(pop, key: str, expo: float, out: str) -> DataFrame:
+        return pop.select(
+            F.col(pop.columns[0]).cast("long").alias(key),
+            F.pow(F.col(pop.columns[1]).cast("double"), F.lit(expo)).alias(out),
+        )
+
+    left_stats: list[str] = []
+    right_stats: list[str] = []
+    if self_sim:
+        # ONE shared base: xsq ≡ ysq and the row-sum population serves both
+        # exponents; the transposed side is a pure projection of this plan.
+        base = m1.repartition(n_part, F.col("row"))
+        if need_sq:
+            base = base.withColumn("_nsq", F.sum(v * v).over(row_w))
+        sum_xdep = need_xdep and not isinstance(pop1, DataFrame)
+        sum_ydep = need_ydep and not isinstance(pop2, DataFrame)
+        if sum_xdep or sum_ydep:
+            base = base.withColumn("_rsum", F.sum(v).over(row_w))
+        left = base
+        if need_sq:
+            left = left.withColumn("_xsq", F.col("_nsq"))
+            left_stats.append("_xsq")
+        if sum_xdep:
+            left = left.withColumn("_xdep", F.pow(F.col("_rsum"), F.lit(p1)))
+            left_stats.append("_xdep")
+        # the transposed side: a pure projection of the SAME base plan
+        # (stats transpose with it: ysq ≡ nsq and the m2-col population is
+        # keyed by base.row, both already in hand)
+        tsel = [
+            F.col("col").alias("row"),
+            F.col("row").alias("col"),
+            F.col("value"),
+        ]
+        if need_sq:
+            tsel.append(F.col("_nsq").alias("_ysq"))
+            right_stats.append("_ysq")
+        if sum_ydep:
+            tsel.append(F.pow(F.col("_rsum"), F.lit(p2)).alias("_ydep"))
+            right_stats.append("_ydep")
+        right = base.select(*tsel)
+    else:
+        left, right = m1.repartition(n_part, F.col("row")), m2
+        if need_sq:
+            left = left.withColumn("_xsq", F.sum(v * v).over(row_w))
+            right = right.withColumn(
+                "_ysq", F.sum(v * v).over(Window.partitionBy("col"))
+            )
+            left_stats.append("_xsq")
+            right_stats.append("_ysq")
+        if need_xdep and not isinstance(pop1, DataFrame):  # 'sum'
+            left = left.withColumn(
+                "_xdep", F.pow(F.sum(v).over(row_w), F.lit(p1))
+            )
+            left_stats.append("_xdep")
+        if need_ydep and not isinstance(pop2, DataFrame):  # 'sum'
+            right = right.withColumn(
+                "_ydep",
+                F.pow(F.sum(v).over(Window.partitionBy("col")), F.lit(p2)),
+            )
+            right_stats.append("_ydep")
 
     # --- selector pruning (pushed before the join wherever the reference
-    # pre-filters in Python: s_plus.pyx:190-196, 287-295) ------------------
+    # pre-filters in Python: s_plus.pyx:190-196, 287-295); row/col pruning
+    # sits ABOVE the stats windows, so norms still see the full matrices --
     if target_rows is not None:
         tr = _as_id_df(m1, target_rows, "row")
-        m1 = m1.join(F.broadcast(tr), "row", "left_semi")
+        left = left.join(F.broadcast(tr), "row", "left_semi")
 
     tc_matrix = fc_matrix = None
     if target_cols is not None:
@@ -214,7 +291,7 @@ def s_plus(
             )
         else:
             tc = _as_id_df(m1, target_cols, "col")
-            m2 = m2.join(F.broadcast(tc), "col", "left_semi")
+            right = right.join(F.broadcast(tc), "col", "left_semi")
     if filter_cols is not None:
         if isinstance(filter_cols, DataFrame) and len(filter_cols.columns) >= 2:
             fc_matrix = filter_cols.select(
@@ -223,15 +300,25 @@ def s_plus(
             )
         else:
             fc = _as_id_df(m1, filter_cols, "col")
-            m2 = m2.join(F.broadcast(fc), "col", "left_anti")
+            right = right.join(F.broadcast(fc), "col", "left_anti")
 
     # --- the SpGEMM: join on the shared dimension + hash aggregate --------
-    left = m1.select(F.col("row"), F.col("col").alias("_j"), F.col("value").alias("_v1"))
-    right = m2.select(F.col("row").alias("_j"), F.col("col"), F.col("value").alias("_v2"))
+    jl = left.select(
+        F.col("row"), F.col("col").alias("_j"), F.col("value").alias("_v1"),
+        *left_stats,
+    )
+    jr = right.select(
+        F.col("row").alias("_j"), F.col("col"), F.col("value").alias("_v2"),
+        *right_stats,
+    )
+    carried = left_stats + right_stats
     xy = (
-        left.join(right, "_j")
+        jl.join(jr, "_j")
         .groupBy("row", "col")
-        .agg(F.sum(F.col("_v1") * F.col("_v2")).alias("_xy"))
+        .agg(
+            F.sum(F.col("_v1") * F.col("_v2")).alias("_xy"),
+            *[F.max(c).alias(c) for c in carried],
+        )
     )
 
     # per-row (row,col) masks apply on output cells before top-k
@@ -241,14 +328,18 @@ def s_plus(
     if fc_matrix is not None:
         xy = xy.join(fc_matrix, ["row", "col"], "left_anti")
 
-    # --- attach statistics (AQE broadcast-converts these small joins) -----
+    # DataFrame-form populations attach here, after the aggregate: they are
+    # per-key relations the planner broadcast-joins against the (already
+    # top-k-bound-free but much thinner than the join output) cell stream —
+    # attaching them to the join inputs instead was measured SLOWER because
+    # it forces extra exchanges below the broadcast build (round 6).
     scored = xy
-    if need_sq:
-        scored = scored.join(m1_sq, "row").join(m2_sq, "col")
-    if xdepop is not None:
-        scored = scored.join(xdepop, "row")
-    if ydepop is not None:
-        scored = scored.join(ydepop, "col")
+    if need_xdep and isinstance(pop1, DataFrame):
+        scored = scored.join(_pop_df(pop1, "row", p1, "_xdep"), "row")
+    if need_ydep and isinstance(pop2, DataFrame):
+        scored = scored.join(_pop_df(pop2, "col", p2, "_ydep"), "col")
+    xdepop = "_xdep" if need_xdep else None
+    ydepop = "_ydep" if need_ydep else None
 
     # --- the similarity expression (s_plus.h:129-156) ---------------------
     xy_c = F.col("_xy")

@@ -830,10 +830,13 @@ def ivf_query(
     )
     probes = _assign_cells(qbase, cents, n_probe).select(
         F.col("id").alias("qid"), F.col("v").alias("qv"), "cid"
-    ).persist()  # the probed-cell collect below AND the scoring cogroup
-    # both consume this relation — unpersisted, every query call ran the
-    # query-side assignment GEMM twice. Small by construction
-    # (n_queries × n_probe rows); released when the session drops it.
+    ).localCheckpoint()  # the probed-cell collect below AND the scoring
+    # cogroup both consume this relation — unmaterialized, every query call
+    # ran the query-side assignment GEMM twice. Small by construction
+    # (n_queries × n_probe rows). localCheckpoint (not persist): repeated
+    # ivf_query calls each build a fresh RDD that the ContextCleaner
+    # releases once the result is dropped — a plain persist() accumulated
+    # cached relations until driver GC with no unpersist hook (ADVICE r5).
     probed = sorted(
         {int(r["cid"]) for r in probes.select("cid").distinct().collect()}
     )

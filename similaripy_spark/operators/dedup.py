@@ -266,12 +266,20 @@ def simhash(
         toks = word_shingles(
             docs, n=n, text_col=text_col, id_col=id_col
         ).select(F.col("doc_id"), F.col("shingle").alias("term"))
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     else:
-        toks = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokenize_expr(F.col(text_col))).alias("term"),
-        )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        # map-side Arrow tokenize+count (postings.build_postings — identical
+        # (doc, term, tf) rows to the explode+groupBy plan, parity-pinned):
+        # removes the token-level shuffle entirely, so the only exchange
+        # left is the per-doc bit aggregation (guide §2.4)
+        from similaripy_spark.fulltext.postings import build_postings
+
+        tf = build_postings(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+            )
+        ).select("doc_id", "term", F.col("tf").cast("long").alias("tf"))
     x1, x2 = _hash_pair(F.col("term"))
     tf = tf.select("doc_id", "tf", x1.alias("x1"), x2.alias("x2"))
     aggs = []
