@@ -422,7 +422,7 @@ class IndexBuilder:
         commit: CommitProtocol | None = None,
         input_layout: str = "shuffle",
         encoder: str = "arrow",
-        weight_scheme: str = "factored",
+        weight_scheme: str = "raw",
     ):
         if input_layout not in ("shuffle", "aligned"):
             raise ValueError(
@@ -466,25 +466,27 @@ class IndexBuilder:
         #: check, failing the build instead of silently corrupting posting
         #: lists.
         self.input_layout = input_layout
-        #: 'factored' (default): blocks store only the doc-local BM25
-        #: factor (tf saturation × length norm); the term-global idf is
-        #: applied at query time from term_stats — the reference's own
-        #: stats-pass/weight-pass separation (normalization.pyx:309-334).
-        #: The segment job then needs NO term-stats aggregate or join at
-        #: all: its only wide exchange is the doc→shard repartition (none
-        #: on the aligned layout), and the vocabulary never has to fit in
-        #: memory anywhere — web-scale-safe on BOTH layouts. 'prod' stores
-        #: idf×tf products in the blocks (round-3 format; query-time idf
-        #: not needed, but the build pays a vocabulary-sized stats join and
-        #: aligned mode must broadcast it). 'raw' stores dl itself in the
-        #: weights column (tf already rides in every block): the doc-local
-        #: tf-part is derived IN the query kernel from (tf, dl) and the
-        #: CURRENT corpus avgdl, which makes append-only ingestion exact —
+        #: 'raw' (default since round 6): stores dl itself in the weights
+        #: column (tf already rides in every block): the doc-local tf-part
+        #: is derived IN the query kernel from (tf, dl) and the CURRENT
+        #: corpus avgdl, which makes append-only ingestion exact —
         #: appending documents shifts avgdl/idf, and a raw index re-reads
         #: both at query time with zero rewrite of committed blocks
-        #: (append.py). Block score bounds are encoded at the pinned
-        #: meta bounds_avgdl and ratio-scaled at read time, so MaxScore/
-        #: BMW pruning stays exact under any corpus drift.
+        #: (append.py). Block score bounds are encoded at the pinned meta
+        #: bounds_avgdl and ratio-scaled at read time, so MaxScore/BMW
+        #: pruning stays exact under any corpus drift. Measured at the
+        #: bench shape (100k docs, aligned, local[32]): raw builds ~10-25%
+        #: faster than factored (no weighting expression in the segment
+        #: job) at query-throughput parity — and it makes the append
+        #: capability the default. 'factored': blocks store the doc-local
+        #: BM25 factor (tf saturation × length norm); idf applied at query
+        #: time from term_stats — the reference's stats-pass/weight-pass
+        #: separation (normalization.pyx:309-334); like 'raw' the segment
+        #: job needs NO term-stats aggregate or join, but appends must
+        #: rewrite nothing only as long as avgdl is pinned. 'prod' stores
+        #: idf×tf products in the blocks (round-3 format; query-time idf
+        #: not needed, but the build pays a vocabulary-sized stats join
+        #: and aligned mode must broadcast it).
         self.weight_scheme = weight_scheme
         #: first group id this builder commits (append epochs build their
         #: delta groups at base = existing n_groups_total; plain builds: 0)

@@ -334,7 +334,8 @@ def test_segments_with_idf_serve_path_parity(spark, tmp_path):
 
     d = str(tmp_path / "fac_serve")
     pages = generate_pages(spark, N_DOCS, vocab_size=VOCAB)
-    IndexBuilder(d, shard_size=256, n_groups=2).build(pages)
+    IndexBuilder(d, shard_size=256, n_groups=2,
+                 weight_scheme="factored").build(pages)
     assert read_meta(d)["weight_scheme"] == "factored"
     queries = spark.createDataFrame(
         generate_queries_pandas(40, vocab_size=VOCAB)

@@ -153,7 +153,7 @@ def test_selector_pushdown_into_join(spark, li_matrix):
 
 
 def test_factored_build_plan_has_no_stats_join(spark):
-    """The factored (default) weighting stage is map-side only: the shuffle
+    """The factored weighting stage is map-side only: the shuffle
     build's physical plan contains exactly ONE exchange (the doc→shard
     repartition) and NO aggregate or join before it — the vocabulary-sized
     term-stats aggregate+join of the prod scheme is gone from the build

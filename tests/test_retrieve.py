@@ -351,7 +351,7 @@ def test_describe_index(spark, built):
     assert 0 < sp["min"] <= sp["median"] <= sp["max"]
     assert d["n_shards_nonempty"] <= d["n_shards"]
     assert d["has_merged"] and d["merged_n_buckets"] == 16
-    assert d["weight_scheme"] == "factored"
+    assert d["weight_scheme"] == "raw"
     assert "segment_job" in (d.get("build_phase_ms") or {})
     with open_index(spark, built, cache=False) as h:
         assert h.describe() == d
