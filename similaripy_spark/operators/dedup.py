@@ -261,41 +261,124 @@ def simhash(
     dedups — so weights are binary) instead of tf-weighted unigrams:
     order-sensitive SimHash, scrambled documents stop hashing
     near-identical. The parameter was previously accepted and silently
-    ignored."""
+    ignored.
+
+    Round-6 physical plan: the unigram path is FULLY map-side — a doc's
+    tokens arrive together in its own row, so tokenize, per-doc tf, the
+    md5 ids, the per-bit mix and the signed-sum bit votes all run inside
+    one ``mapInArrow`` kernel with ZERO shuffles and no `bits`-wide JVM
+    aggregate (whose 48-plus-function expression tree dominated the old
+    stage). Identical output by construction: the kernel evaluates the
+    SAME integer arithmetic (hashlib md5 == Spark md5; the mix chain is
+    pure int64; signed tf sums are exact) — pinned against the JVM
+    expression path by test."""
     if n > 1:
         toks = word_shingles(
             docs, n=n, text_col=text_col, id_col=id_col
         ).select(F.col("doc_id"), F.col("shingle").alias("term"))
         tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    else:
-        # map-side Arrow tokenize+count (postings.build_postings — identical
-        # (doc, term, tf) rows to the explode+groupBy plan, parity-pinned):
-        # removes the token-level shuffle entirely, so the only exchange
-        # left is the per-doc bit aggregation (guide §2.4)
-        from similaripy_spark.fulltext.postings import build_postings
+        x1, x2 = _hash_pair(F.col("term"))
+        tf = tf.select("doc_id", "tf", x1.alias("x1"), x2.alias("x2"))
+        aggs = []
+        for b in range(bits):
+            g = _mix_bit(F.col("x1"), F.col("x2"), F.lit(b).cast("long"))
+            signed = F.when(g == 1, F.col("tf")).otherwise(-F.col("tf"))
+            aggs.append(F.sum(signed).alias(f"_s{b}"))
+        per_doc = tf.groupBy("doc_id").agg(*aggs)
+        sim = F.lit(0).cast("long")
+        for b in range(bits):
+            # bit 63 wraps to Long.MIN_VALUE, matching shiftleft(1L, 63)
+            bitval = (1 << b) if b < 63 else -(1 << 63)
+            sim = sim + F.when(
+                F.col(f"_s{b}") > 0, F.lit(bitval).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return per_doc.select("doc_id", sim.alias("simhash"))
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInArrow(
+        _simhash_arrow_kernel(int(bits)), schema="doc_id long, simhash long"
+    )
 
-        tf = build_postings(
-            docs.select(
-                F.col(id_col).alias("doc_id"),
-                F.col(text_col).alias("text"),
+
+def _simhash_arrow_kernel(bits: int):
+    """Arrow kernel: (doc_id, text) batches → (doc_id, simhash). Exact
+    twin of the JVM expression pipeline (tokenize_expr ≡ lower+regex split
+    with empties dropped; _hash_pair ≡ md5 hex substrings; _mix_bit ≡ the
+    MINSTD/xor-shift chain in int64), vectorized: md5 runs once per
+    DISTINCT term per batch, the mix chain once per (distinct term × bit),
+    and the per-doc signed votes are one np.add.at scatter."""
+    import hashlib
+
+    import numpy as np
+
+    from similaripy_spark.fulltext.tokenizer import TOKEN_SPLIT_RE
+
+    bitvals = np.array(
+        [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)],
+        dtype=np.int64,
+    )
+    bit_c = (np.arange(bits, dtype=np.int64) + 1) * 97
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            text = pc.fill_null(b.column(b.schema.get_field_index("text")), "")
+            toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+            n_per = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_per)
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+            if len(doc_idx) == 0:
+                continue
+            denc = pc.dictionary_encode(flat)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
-        ).select("doc_id", "term", F.col("tf").cast("long").alias("tf"))
-    x1, x2 = _hash_pair(F.col("term"))
-    tf = tf.select("doc_id", "tf", x1.alias("x1"), x2.alias("x2"))
-    aggs = []
-    for b in range(bits):
-        g = _mix_bit(F.col("x1"), F.col("x2"), F.lit(b).cast("long"))
-        signed = F.when(g == 1, F.col("tf")).otherwise(-F.col("tf"))
-        aggs.append(F.sum(signed).alias(f"_s{b}"))
-    per_doc = tf.groupBy("doc_id").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        # bit 63 wraps to Long.MIN_VALUE, matching shiftleft(1L, 63)
-        bitval = (1 << b) if b < 63 else -(1 << 63)
-        sim = sim + F.when(
-            F.col(f"_s{b}") > 0, F.lit(bitval).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return per_doc.select("doc_id", sim.alias("simhash"))
+            terms = denc.dictionary.to_pylist()
+            V = max(len(terms), 1)
+            # per-(doc, term) tf via one int64 unique pass
+            key = doc_idx * V + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            u_doc = ukey // V
+            u_code = ukey % V
+            # md5 id pair per DISTINCT term (== _hash_pair: hex[0:7]/[8:15])
+            hexes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in terms]
+            x1 = np.array([int(h[:7], 16) for h in hexes], dtype=np.int64)
+            x2 = np.array([int(h[8:15], 16) for h in hexes], dtype=np.int64)
+            # the mix chain over (V × bits), int64 throughout (== _mix_bit)
+            x = (x1[:, None] * 48271 + x2[:, None] * 16807 + bit_c) % _M31
+            x = ((x ^ (x >> 7)) * 48271) % _M31
+            x = ((x ^ (x >> 11)) * 16807) % _M31
+            g = (x ^ (x >> 5)) % 2
+            sign = np.where(g == 1, np.int64(1), np.int64(-1))
+            # signed votes scattered into the (doc × bits) grid
+            grid = np.zeros((n, bits), dtype=np.int64)
+            np.add.at(grid, u_doc, tf.astype(np.int64)[:, None] * sign[u_code])
+            sim = ((grid > 0) * bitvals).sum(axis=1, dtype=np.int64)
+            # only docs with ≥1 token appear (matches the groupBy plan)
+            present = np.unique(doc_idx)
+            doc_ids = b.column(
+                b.schema.get_field_index("doc_id")
+            ).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[present], type=pa.int64()),
+                    pa.array(sim[present], type=pa.int64()),
+                ],
+                names=["doc_id", "simhash"],
+            )
+
+    return kernel
 
 
 def simhash_pairs(

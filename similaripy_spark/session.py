@@ -52,7 +52,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 128 MB: the similarity kernel's whole no-shuffle-pair-stream plan
+        # hinges on the m2 side broadcasting; the default 10 MB (and the
+        # previous 64 MB) dropped it back to a sort-merge join one data-size
+        # step up. A ~10^2 MB broadcast is well inside executor budgets
+        # (guide §3.1); override per deployment via extra_conf.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024 * 1024))
+        # let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1/§9): no sort of either side; every
+        # join key here is fine-grained (term, doc, (row,col)) so a build-
+        # side partition fitting memory is the common case, and AQE still
+        # falls back per-partition when it does not.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if master.startswith("local-cluster"):
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -104,6 +104,45 @@ def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
     assert s1 == s2
 
 
+def test_simhash_arrow_kernel_matches_jvm_expressions(spark, dup_docs):
+    """The round-6 map-side Arrow simhash must reproduce the JVM
+    expression pipeline (md5 id pair -> _mix_bit votes -> signed tf sums)
+    bit-for-bit, including the bits=64 sign-bit wrap."""
+    from similaripy_spark.fulltext.postings import build_postings
+    from similaripy_spark.operators.dedup import _hash_pair, _mix_bit
+
+    for bits in (16, 64):
+        got = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash(dup_docs, bits=bits).collect()
+        }
+        tf = build_postings(dup_docs.select("doc_id", "text")).select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf")
+        )
+        x1, x2 = _hash_pair(F.col("term"))
+        tf = tf.select("doc_id", "tf", x1.alias("x1"), x2.alias("x2"))
+        aggs = []
+        for b in range(bits):
+            g = _mix_bit(F.col("x1"), F.col("x2"), F.lit(b).cast("long"))
+            aggs.append(
+                F.sum(
+                    F.when(g == 1, F.col("tf")).otherwise(-F.col("tf"))
+                ).alias(f"_s{b}")
+            )
+        per_doc = tf.groupBy("doc_id").agg(*aggs)
+        sim = F.lit(0).cast("long")
+        for b in range(bits):
+            bitval = (1 << b) if b < 63 else -(1 << 63)
+            sim = sim + F.when(
+                F.col(f"_s{b}") > 0, F.lit(bitval).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        want = {
+            r.doc_id: r.simhash
+            for r in per_doc.select("doc_id", sim.alias("simhash")).collect()
+        }
+        assert got == want
+
+
 def test_simhash_and_pairs(spark, dup_docs):
     sh = dedup.simhash(dup_docs).toPandas().set_index("doc_id")["simhash"]
     for d in range(5):
