@@ -5,7 +5,8 @@ aggregates) — no UDFs — so every one of them has an exact ANSI-SQL oracle
 twin and scales through Catalyst/AQE:
 
 * ``dedup_exact``        — hash-groupBy exact duplicate clustering
-* ``word_shingles``      — word n-gram shingling (window ``lead``)
+* ``word_shingles``      — word n-gram shingling (map-side Arrow kernel;
+  windowed-``lead`` SQL twin pinned by test)
 * ``ngram_jaccard_pairs``— exact n-gram Jaccard similarity join
 * ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash + banded LSH
 * ``simhash``            — per-doc SimHash value + near-dup pairs by
@@ -26,8 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from similaripy_spark.fulltext.tokenizer import tokenize_expr
 
 # deterministic LCG-style constants (Knuth multiplicative hashing)
 _HA = 2654435761
@@ -82,22 +81,82 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def word_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """→ distinct (doc_id, shingle) word n-grams via windowed lead —
-    identical SQL runs on any engine with window functions."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize_expr(F.col(text_col))).alias("pos", "term"),
+    """→ distinct (doc_id, shingle) word n-grams.
+
+    Round-6 physical plan: a doc's tokens arrive together in its own row,
+    so shingling AND the per-doc dedup are computed inside one
+    ``mapInArrow`` kernel — ZERO shuffles (the old windowed-lead plan
+    exploded every token through a (doc_id, pos) window exchange and paid
+    a global distinct exchange on the shingle stream; per-doc distinct IS
+    global distinct because the key contains doc_id). Identical rows to
+    the windowed-lead/distinct plan — parity-pinned by test and by the
+    unchanged SQL oracle twins."""
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("term")] + [F.lead("term", i).over(w) for i in range(1, n)]
-    sh = toks.withColumn("shingle", F.concat_ws(" ", *parts))
-    if n > 1:
-        # drop tail positions where lead() ran off the document (window
-        # results must be materialized as columns before filtering)
-        sh = sh.withColumn(
-            "_complete", F.lead("term", n - 1).over(w).isNotNull()
-        ).filter(F.col("_complete"))
-    return sh.select("doc_id", "shingle").distinct()
+    return src.mapInArrow(
+        _word_shingles_kernel(int(n)), schema="doc_id long, shingle string"
+    )
+
+
+def _word_shingles_kernel(n: int):
+    """Arrow kernel: (doc_id, text) batches → distinct (doc_id, shingle).
+    Tokenize on Arrow string kernels (same lower/split/drop-empties stream
+    as tokenize_expr), n-gram assembly by object-array concatenation over
+    positions whose full window stays inside one doc, per-doc dedup via
+    one int64 unique pass over (doc, shingle-code)."""
+    import numpy as np
+
+    from similaripy_spark.fulltext.tokenizer import TOKEN_SPLIT_RE
+
+    def kernel(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            text = pc.fill_null(b.column(b.schema.get_field_index("text")), "")
+            toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+            n_per = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), n_per)
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+            nt = len(doc_idx)
+            if nt < n:
+                continue
+            tok = np.asarray(flat.to_pylist(), dtype=object)
+            sh = tok[: nt - n + 1].copy()
+            for i in range(1, n):
+                sh = sh + " "
+                sh = sh + tok[i: nt - n + 1 + i]
+            # a shingle is valid only when its whole window is in one doc
+            valid = doc_idx[: nt - n + 1] == doc_idx[n - 1:]
+            sh, sdoc = sh[valid], doc_idx[: nt - n + 1][valid]
+            if len(sh) == 0:
+                continue
+            codes, uniques = pd.factorize(pd.Series(sh), sort=False)
+            ukey = np.unique(sdoc * np.int64(max(len(uniques), 1)) + codes)
+            u_doc = ukey // max(len(uniques), 1)
+            u_code = ukey % max(len(uniques), 1)
+            doc_ids = b.column(
+                b.schema.get_field_index("doc_id")
+            ).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[u_doc], type=pa.int64()),
+                    pa.array(uniques.take(u_code), type=pa.string()),
+                ],
+                names=["doc_id", "shingle"],
+            )
+
+    return kernel
 
 
 def _shingle_ids(shingles: DataFrame) -> DataFrame:

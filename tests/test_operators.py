@@ -104,6 +104,44 @@ def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
     assert s1 == s2
 
 
+def test_word_shingles_kernel_matches_windowed_lead(spark, dup_docs):
+    """The round-6 map-side shingle kernel must reproduce the windowed-
+    lead + distinct plan row-for-row (including n=1 and short docs)."""
+    from pyspark.sql import Window
+
+    from similaripy_spark.fulltext.tokenizer import tokenize_expr
+
+    docs = dup_docs.union(
+        spark.createDataFrame(
+            [(90001, "one two"), (90002, ""), (90003, "  solo ")],
+            "doc_id long, text string",
+        )
+    )
+    for n in (1, 3):
+        got = {
+            (r.doc_id, r.shingle)
+            for r in dedup.word_shingles(docs, n=n).collect()
+        }
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(tokenize_expr(F.col("text"))).alias("pos", "term"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        parts = [F.col("term")] + [
+            F.lead("term", i).over(w) for i in range(1, n)
+        ]
+        sh = toks.withColumn("shingle", F.concat_ws(" ", *parts))
+        if n > 1:
+            sh = sh.withColumn(
+                "_c", F.lead("term", n - 1).over(w).isNotNull()
+            ).filter(F.col("_c"))
+        want = {
+            (r.doc_id, r.shingle)
+            for r in sh.select("doc_id", "shingle").distinct().collect()
+        }
+        assert got == want
+
+
 def test_simhash_arrow_kernel_matches_jvm_expressions(spark, dup_docs):
     """The round-6 map-side Arrow simhash must reproduce the JVM
     expression pipeline (md5 id pair -> _mix_bit votes -> signed tf sums)

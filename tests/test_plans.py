@@ -167,7 +167,8 @@ def test_factored_build_plan_has_no_stats_join(spark):
     w = bm25_tf_part(build_postings(pages), avgdl=120.0).withColumn(
         "shard", (F.col("doc_id") / 256).cast("int")
     )
-    b = IndexBuilder("/tmp/unused_plan_test", shard_size=256, n_groups=2)
+    b = IndexBuilder("/tmp/unused_plan_test", shard_size=256, n_groups=2,
+                     weight_scheme="factored")
     plan = physical_plan(b._segment_plan(w, 2))
     assert plan.count("Exchange") == 1  # the doc→shard repartition only
     assert "Join" not in plan
