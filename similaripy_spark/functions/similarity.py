@@ -473,6 +473,17 @@ def p3alpha(m1, m2=None, *, alpha=1.0, k=100, shrink=0.0,
     reference passes ``binary`` through to the kernel, i.e. binarization is
     applied AFTER the L1 normalization (similarity.py:416-431) — preserved."""
     m1 = eliminate_zeros(m1.select("row", "col", "value"))
+    # pin the row clustering BELOW the normalization window with an
+    # explicit partition count: the window's own ENSURE_REQUIREMENTS
+    # exchange would be AQE-coalesced by its (small, pre-join) byte size,
+    # and everything downstream — the SpGEMM join probe, the product
+    # aggregate, the top-k window — inherits that partitioning (the
+    # kernel's later repartition elides as redundant). Same reasoning as
+    # the kernel-internal pin; see s_plus.
+    m1 = m1.repartition(
+        int(m1.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        F.col("row"),
+    )
     m2 = transpose(m1) if m2 is None else eliminate_zeros(
         m2.select("row", "col", "value"))
     m1n = _l1_pow(m1, alpha)
@@ -495,6 +506,12 @@ def rp3beta(m1, m2=None, *, alpha=1.0, beta=1.0, k=100, shrink=0.0,
     normalization), matching similarity.py:483-502.
     """
     m1 = eliminate_zeros(m1.select("row", "col", "value"))
+    # same pinned pre-normalization row clustering as p3alpha (the pop
+    # aggregate, keyed by m2.col ≡ m1.row, rides the same exchange too)
+    m1 = m1.repartition(
+        int(m1.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        F.col("row"),
+    )
     m2 = transpose(m1) if m2 is None else eliminate_zeros(
         m2.select("row", "col", "value"))
     pop_m2 = m2.groupBy("col").agg(F.sum("value").alias("w"))
