@@ -87,15 +87,16 @@ def _li_matrix(spark, sf_dir):
 def _postings(spark, sf_dir):
     """Postings for the document entries, via the engine's map-side Arrow
     tokenizer (identical rows to the SQL-plan twin — parity is pinned in
-    tests — with no token-level shuffle) and a lazy localCheckpoint: the
-    BM25 entries consume the postings relation three times (weights join,
-    term stats, corpus scalars), and without a materialization barrier each
-    consumer re-runs the tokenize pass. localCheckpoint (not persist) so
-    repeated invocations never share state: each call builds a fresh RDD,
-    released by the ContextCleaner when the result is dropped."""
+    tests — with no token-level shuffle). The BM25 entries consume the
+    postings relation three times (weights join, term stats, corpus
+    scalars); with the tokenize spread across cores (_docs) the three
+    map-side passes are cheaper than any materialization barrier — a
+    localCheckpoint variant was measured ~2 s SLOWER on the first (timed)
+    invocation for its extra materialization job and ExistingRDD scans,
+    at equal steady state."""
     from similaripy_spark.fulltext.postings import build_postings
 
-    return build_postings(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    return build_postings(_docs(spark, sf_dir))
 
 
 _R = 6  # rounding for float outputs
@@ -256,7 +257,11 @@ def _q_bm25_topk(spark, sf_dir):
     from similaripy_spark.fulltext.query import bm25_topk
     from similaripy_spark.fulltext.weights import bm25_weights
 
-    docs = _docs(spark, sf_dir)
+    # raw (unspread) read for the QUERY side: the %25 filter pushes into
+    # the parquet scan, and the 200-row query relation has no tokenize
+    # stage worth parallelizing — the spread's round-robin exchange would
+    # just sit between the scan and the filter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     queries = docs.filter(F.col("doc_id") % 25 == 0).select(
         F.col("doc_id").alias("query_id"),
         F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), 1, 3).alias("terms"),

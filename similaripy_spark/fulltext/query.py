@@ -51,6 +51,17 @@ def bm25_topk(
     reference's ``dot_product(q, W.T)``). Default is the binarized query
     vector of the README example (distinct terms, qw=1).
     """
+    # the matched stream is explicitly clustered by query_id with the
+    # configured shuffle parallelism BEFORE the score aggregate: the
+    # aggregate and the top-k window then share that ONE exchange (same
+    # single-exchange shape as the similarity kernel — an
+    # ENSURE_REQUIREMENTS exchange here would be planned on (query_id,
+    # doc_id) and the window would pay a second full shuffle + sort of
+    # the same stream). Partial aggregation loses almost nothing: a
+    # (query, doc) cell has at most |query terms| contributions.
+    n_part = int(
+        queries.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     if query_weighted:
         if "weights" not in queries.columns:
             raise ValueError(
@@ -67,6 +78,7 @@ def bm25_topk(
         )
         scores = (
             qterms.join(weighted_postings, "term")
+            .repartition(n_part, F.col("query_id"))
             .groupBy("query_id", "doc_id")
             .agg(F.sum(F.col("qw") * F.col("weight")).alias("score"))
         )
@@ -76,6 +88,7 @@ def bm25_topk(
         ).distinct()
         scores = (
             qterms.join(weighted_postings, "term")
+            .repartition(n_part, F.col("query_id"))
             .groupBy("query_id", "doc_id")
             .agg(F.sum("weight").alias("score"))
         )
