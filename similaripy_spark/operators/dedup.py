@@ -159,13 +159,6 @@ def _word_shingles_kernel(n: int):
     return kernel
 
 
-def _shingle_ids(shingles: DataFrame) -> DataFrame:
-    """Encode shingles as a deterministic md5-derived (x1, x2) id pair —
-    a pure projection: no global window, no dictionary join, no shuffle."""
-    x1, x2 = _hash_pair(F.col("shingle"))
-    return shingles.select("doc_id", x1.alias("x1"), x2.alias("x2"))
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -228,27 +221,81 @@ def minhash_signatures(
     h_i(x1, x2) = (a_i·x1 + c_i·x2 + b_i) mod P over the md5 id pair —
     a_i/b_i/c_i fixed integer polynomials of i, everything inside int64.
 
-    Executed as ONE groupBy pass with n_hashes min-aggregates, then an
-    unpivot: no hash-table crossJoin (which would materialize n_hashes×
-    the shingle rows AND re-evaluate the md5 ids under the collapsed join
-    projection), full map-side partial aggregation, md5 computed once per
-    shingle via codegen subexpression elimination."""
-    sh = _shingle_ids(word_shingles(docs, n, text_col, id_col))
-    x1, x2 = F.col("x1"), F.col("x2")
-    aggs = []
-    for i in range(n_hashes):
-        a = (i * 2 + 1) * _HA % _PRIME
-        b = i * _HB + 7
-        c = (i * 2 + 2) * _HA % _PRIME
-        aggs.append(F.min((a * x1 + c * x2 + b) % _PRIME).alias(f"_m{i}"))
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
-    pairs = ", ".join(
-        f"CAST({i} AS INT), _m{i}" for i in range(n_hashes)
+    Round-6 physical plan: FULLY map-side — a doc's shingle set is known
+    inside the shingling kernel, so the md5 id pair, the n_hashes
+    polynomials and the per-doc mins all run in the same ``mapInArrow``
+    pass with ZERO shuffles (the prior plan shipped the shingle strings
+    back to the JVM for an n_hashes-min groupBy + unpivot). Identical
+    integer arithmetic (hashlib md5 ≡ Spark md5; the polynomial and the
+    min are exact int64) — pinned against the JVM expression pipeline by
+    test and by the unchanged DuckDB oracle."""
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    return per_doc.select(
-        "doc_id",
-        F.expr(f"stack({n_hashes}, {pairs}) AS (h, minhash)"),
-    ).select("doc_id", "h", F.col("minhash").cast("long").alias("minhash"))
+    return src.mapInArrow(
+        _minhash_arrow_kernel(int(n), int(n_hashes)),
+        schema="doc_id long, h int, minhash long",
+    )
+
+
+def _minhash_arrow_kernel(n: int, n_hashes: int):
+    """Arrow kernel: (doc_id, text) batches → (doc_id, h, minhash).
+    Builds the distinct per-doc shingle sets with the word-shingle kernel
+    machinery, hashes each DISTINCT shingle once, evaluates the n_hashes
+    polynomials over the (V × H) grid and scatters per-doc minima with
+    one np.minimum.at."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.array(
+        [(i * 2 + 1) * _HA % _PRIME for i in range(n_hashes)], np.int64
+    )
+    bco = np.array([i * _HB + 7 for i in range(n_hashes)], np.int64)
+    c = np.array(
+        [(i * 2 + 2) * _HA % _PRIME for i in range(n_hashes)], np.int64
+    )
+    shingler = _word_shingles_kernel(n)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for sh_batch in shingler(batches):
+            u_doc_ids = sh_batch.column(0).to_numpy(zero_copy_only=False)
+            shingles = sh_batch.column(1).to_pylist()
+            # distinct shingles within the (already per-doc-distinct) rows
+            uniq: dict[str, int] = {}
+            codes = np.fromiter(
+                (uniq.setdefault(s, len(uniq)) for s in shingles),
+                count=len(shingles), dtype=np.int64,
+            )
+            hexes = [
+                hashlib.md5(s.encode("utf-8")).hexdigest() for s in uniq
+            ]
+            x1 = np.array([int(h[:7], 16) for h in hexes], np.int64)
+            x2 = np.array([int(h[8:15], 16) for h in hexes], np.int64)
+            hv = (a * x1[:, None] + c * x2[:, None] + bco) % _PRIME
+            # per-doc minima: compact doc index over this shingle batch
+            docs_u, doc_pos = np.unique(u_doc_ids, return_inverse=True)
+            grid = np.full((len(docs_u), n_hashes), np.iinfo(np.int64).max,
+                           dtype=np.int64)
+            np.minimum.at(grid, doc_pos, hv[codes])
+            nd = len(docs_u)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(docs_u, n_hashes), type=pa.int64()),
+                    pa.array(
+                        np.tile(
+                            np.arange(n_hashes, dtype=np.int32), nd
+                        ),
+                        type=pa.int32(),
+                    ),
+                    pa.array(grid.reshape(-1), type=pa.int64()),
+                ],
+                names=["doc_id", "h", "minhash"],
+            )
+
+    return kernel
 
 
 def minhash_lsh_pairs(

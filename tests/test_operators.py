@@ -104,6 +104,40 @@ def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
     assert s1 == s2
 
 
+def test_minhash_kernel_matches_jvm_expressions(spark, dup_docs):
+    """The round-6 map-side MinHash kernel must reproduce the JVM
+    md5-polynomial/min-aggregate pipeline value-for-value."""
+    from similaripy_spark.operators.dedup import (
+        _HA,
+        _HB,
+        _PRIME,
+        _hash_pair,
+    )
+
+    n_hashes = 8
+    got = {
+        (r.doc_id, r.h): r.minhash
+        for r in dedup.minhash_signatures(dup_docs, n_hashes).collect()
+    }
+    sh = dedup.word_shingles(dup_docs, 3)
+    x1e, x2e = _hash_pair(F.col("shingle"))
+    ids = sh.select("doc_id", x1e.alias("x1"), x2e.alias("x2"))
+    x1, x2 = F.col("x1"), F.col("x2")
+    aggs = []
+    for i in range(n_hashes):
+        a = (i * 2 + 1) * _HA % _PRIME
+        b = i * _HB + 7
+        c = (i * 2 + 2) * _HA % _PRIME
+        aggs.append(F.min((a * x1 + c * x2 + b) % _PRIME).alias(f"_m{i}"))
+    per_doc = ids.groupBy("doc_id").agg(*aggs).collect()
+    want = {
+        (r.doc_id, i): r[f"_m{i}"]
+        for r in per_doc
+        for i in range(n_hashes)
+    }
+    assert got == want
+
+
 def test_word_shingles_kernel_matches_windowed_lead(spark, dup_docs):
     """The round-6 map-side shingle kernel must reproduce the windowed-
     lead + distinct plan row-for-row (including n=1 and short docs)."""
