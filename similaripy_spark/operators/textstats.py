@@ -161,28 +161,106 @@ def winnow_fingerprints(
     keep the distinct window-minimum hashes per doc → (doc_id, fingerprint).
     The ANSI twin of the id is CAST('0x' || substr(md5(term),1,15) AS BIGINT);
     the rolling polynomial reduces mod P first so every intermediate stays
-    inside int64 (h < 2^31, h·B < 2^47, + id < 2^60)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize_expr(F.col(text_col))).alias("pos", "term"),
+    inside int64 (h < 2^31, h·B < 2^47, + id < 2^60).
+
+    Round-6 physical plan: FULLY map-side — a doc's tokens arrive together
+    in its own row, so tokenize, the md5 term ids, the rolling k-gram
+    polynomial, the per-doc window minima and the distinct all run inside
+    one ``mapInArrow`` kernel with ZERO shuffles (the old plan exploded
+    every token through a (doc_id, pos) window exchange plus a global
+    distinct). Identical int64 arithmetic (hashlib md5 ≡ Spark md5);
+    parity-pinned against the JVM window pipeline by test."""
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    toks = toks.withColumn(
-        "term_id",
-        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+    return src.mapInArrow(
+        _winnow_arrow_kernel(int(kgram), int(window)),
+        schema="doc_id long, fingerprint long",
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    # polynomial hash of the k-gram of term ids (base B mod P)
-    h = F.col("term_id") % _PRIME
-    for i in range(1, kgram):
-        h = (h * _HB + F.lead("term_id", i).over(w)) % _PRIME
-    kg = (
-        toks.withColumn("kg_hash", h)
-        .withColumn("_complete", F.lead("term_id", kgram - 1).over(w).isNotNull())
-        .filter(F.col("_complete"))
-    )
-    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    fp = kg.withColumn("win_min", F.min("kg_hash").over(wmin))
-    return fp.select("doc_id", F.col("win_min").alias("fingerprint")).distinct()
+
+
+def _winnow_arrow_kernel(kgram: int, window: int):
+    """Arrow kernel: (doc_id, text) batches → distinct (doc_id, win-min
+    fingerprint). md5 once per DISTINCT term per batch; the rolling
+    polynomial and the width-`window` minima are shifted-array reductions
+    masked at doc boundaries (the JVM twin's windows are partitioned by
+    doc, so a window never crosses into the next doc)."""
+    import hashlib
+
+    import numpy as np
+
+    from similaripy_spark.fulltext.tokenizer import TOKEN_SPLIT_RE
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            text = pc.fill_null(b.column(b.schema.get_field_index("text")), "")
+            toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+            n_per = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), n_per)
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+            nt = len(doc_idx)
+            if nt < kgram:
+                continue
+            denc = pc.dictionary_encode(flat)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            terms = denc.dictionary.to_pylist()
+            tid = np.array(
+                [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    for t in terms
+                ],
+                dtype=np.int64,
+            )
+            ids = tid[codes]
+            # rolling k-gram polynomial over positions whose whole window
+            # stays inside one doc
+            m = nt - kgram + 1
+            h = ids[:m] % _PRIME
+            for j in range(1, kgram):
+                h = (h * _HB + ids[j: m + j]) % _PRIME
+            valid = doc_idx[:m] == doc_idx[kgram - 1:]
+            kg, kdoc = h[valid], doc_idx[:m][valid]
+            nk = len(kg)
+            if nk == 0:
+                continue
+            # width-`window` forward minima, masked at doc boundaries
+            win_min = kg.copy()
+            big = np.iinfo(np.int64).max
+            for j in range(1, window):
+                if j >= nk:
+                    break
+                shifted = np.full(nk, big, dtype=np.int64)
+                same = kdoc[: nk - j] == kdoc[j:]
+                shifted[: nk - j][same] = kg[j:][same]
+                np.minimum(win_min, shifted, out=win_min)
+            ukey = np.unique(kdoc * np.int64(1 << 31) + win_min)
+            u_doc = ukey >> 31
+            u_fp = ukey & ((1 << 31) - 1)
+            doc_ids = b.column(
+                b.schema.get_field_index("doc_id")
+            ).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[u_doc], type=pa.int64()),
+                    pa.array(u_fp, type=pa.int64()),
+                ],
+                names=["doc_id", "fingerprint"],
+            )
+
+    return kernel
 
 
 # --- character-n-gram language ID (pandas UDF path) -------------------------

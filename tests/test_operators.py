@@ -328,6 +328,61 @@ def test_langid(spark):
     assert sw[0] == "en" and sw[1] == "de" and sw[2] == "fr" and sw[3] == "es"
 
 
+def test_winnow_kernel_matches_jvm_windows(spark, dup_docs):
+    """The round-6 map-side winnowing kernel must reproduce the JVM
+    posexplode + lead-polynomial + rolling-min + distinct pipeline
+    row-for-row, for both default and non-default (kgram, window)."""
+    from pyspark.sql import Window
+
+    from similaripy_spark.fulltext.tokenizer import tokenize_expr
+    from similaripy_spark.operators.textstats import _HB, _PRIME
+
+    docs = dup_docs.union(
+        spark.createDataFrame(
+            [(91001, "just four words here"), (91002, "")],
+            "doc_id long, text string",
+        )
+    )
+    for kgram, window in ((5, 4), (3, 2)):
+        got = {
+            (r.doc_id, r.fingerprint)
+            for r in textstats.winnow_fingerprints(
+                docs, kgram=kgram, window=window
+            ).collect()
+        }
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(tokenize_expr(F.col("text"))).alias("pos", "term"),
+        ).withColumn(
+            "term_id",
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        h = F.col("term_id") % _PRIME
+        for i in range(1, kgram):
+            h = (h * _HB + F.lead("term_id", i).over(w)) % _PRIME
+        kg = (
+            toks.withColumn("kg_hash", h)
+            .withColumn(
+                "_c", F.lead("term_id", kgram - 1).over(w).isNotNull()
+            )
+            .filter(F.col("_c"))
+        )
+        wmin = (
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(0, window - 1)
+        )
+        want = {
+            (r.doc_id, r.fingerprint)
+            for r in kg.withColumn("win_min", F.min("kg_hash").over(wmin))
+            .select("doc_id", F.col("win_min").alias("fingerprint"))
+            .distinct()
+            .collect()
+        }
+        assert got == want
+
+
 def test_winnow_fingerprints(spark, dup_docs):
     fp = textstats.winnow_fingerprints(dup_docs).toPandas()
     by_doc = fp.groupby("doc_id")["fingerprint"].apply(set)
