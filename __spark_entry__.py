@@ -73,8 +73,21 @@ def _emb(spark, sf_dir):
 
 def _li_matrix(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # Cluster by the row key BELOW the aggregate: grouping by (orderkey,
+    # partkey) is satisfied by hashpartitioning(orderkey) (subset rule), so
+    # the aggregate runs on this one exchange, and the similarity kernel's
+    # own row repartition (same key, same count) elides as redundant — one
+    # full-matrix exchange per join side instead of two. Map-side partial
+    # aggregation loses nothing: (orderkey, partkey) pairs are ~unique in
+    # lineitem, so the pre-exchange combine never shrank the stream.
+    # Measured (cosine_topk, sf0.1, noop best-of-6): 2.19 s → 1.87 s,
+    # printed plan 10 → 6 Exchange nodes; identical rows (sum order only —
+    # integer-valued quantities sum exactly in any order).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     return (
-        li.groupBy("l_orderkey", "l_partkey")
+        li.select("l_orderkey", "l_partkey", "l_quantity")
+        .repartition(n_part, F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("value"))
         .select(
             F.col("l_orderkey").alias("row"),
